@@ -1,0 +1,281 @@
+"""Batched ray-scene intersection (jnp reference path).
+
+TPU-native counterpart of the reference's per-ray virtual ``intersect``
+dispatch (reference: Src/scene.cpp:190-211 looping ``Object::intersect``,
+Src/primitive.cpp:83-168 Möller-Trumbore, Src/primitive.h:106-177 sphere,
+Src/primitive.h:243-268 box slab). Instead of a loop over objects, the scene
+is three flat tables (triangles / spheres / medium boxes) and the whole
+wavefront is tested against each table with masked min-reductions.
+
+Deliberate divergences from the reference (SURVEY.md §2.4):
+  * Box hits compete on nearest-t like everything else. (The C++ BoxMesh
+    overwrites ``info`` unconditionally and its ``occluded`` returns true for
+    every ray, Src/primitive.h:243-268 — order-dependent and wrong for mixed
+    scenes.) Medium-only boxes never occlude shadow rays here.
+  * Sphere hits get a proper ONB for (dpdu, dpdv). (The C++ leaves them
+    uninitialized for spheres, Src/primitive.h:106-124.)
+
+A Pallas kernel (pallas.py) implements the triangle sweep for the hot path;
+this module is the semantics-defining fallback and the autodiff-safe path.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import INF, K_EPS
+from ..math import cross, dot, normalize, orthonormal_basis
+from .types import Hit, Rays
+
+# Triangle-table chunk processed per scan step: bounds peak memory at
+# N_rays * TRI_CHUNK intermediates.
+TRI_CHUNK = 128
+
+
+def _tri_chunk_hits(o, d, v0, e1, e2, valid):
+    """Möller-Trumbore for one (C,)-triangle chunk against (N,) rays.
+
+    Mirrors Src/primitive.cpp:140-168 with CULLING off: parallel rays miss on
+    |det| < kEpsilon, and hits require t > kEpsilon.
+    Returns (t, u, v, ok) each (N, C).
+    """
+    dN = d[:, None, :]
+    pvec = cross(dN, e2[None, :, :])                    # (N, C, 3)
+    det = jnp.einsum("cj,ncj->nc", e1, pvec)
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tvec = o[:, None, :] - v0[None, :, :]
+    u = jnp.einsum("ncj,ncj->nc", tvec, pvec) * inv_det
+    qvec = cross(tvec, e1[None, :, :])
+    v = jnp.einsum("ncj,ncj->nc", dN, qvec) * inv_det
+    t = jnp.einsum("cj,ncj->nc", e2, qvec) * inv_det
+    ok = (
+        (jnp.abs(det) >= K_EPS)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > K_EPS)
+        & valid[None, :]
+    )
+    return t, u, v, ok
+
+
+def intersect_triangles(rays: Rays, v0, e1, e2, valid, chunk=TRI_CHUNK):
+    """Nearest triangle hit per ray. Tables must be padded to a multiple of
+    ``chunk`` (builder guarantees this). Returns (t, idx, u, v); t=INF and
+    idx=-1 on miss."""
+    n = rays.o.shape[0]
+    t_total = v0.shape[0]
+    n_chunks = t_total // chunk
+
+    def _v0():
+        return (
+            jnp.full((n,), INF),
+            jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n,)),
+            jnp.zeros((n,)),
+        )
+
+    def step(carry, ci):
+        bt, bi, bu, bv = carry
+        s = ci * chunk
+        cv0 = lax.dynamic_slice_in_dim(v0, s, chunk)
+        ce1 = lax.dynamic_slice_in_dim(e1, s, chunk)
+        ce2 = lax.dynamic_slice_in_dim(e2, s, chunk)
+        cva = lax.dynamic_slice_in_dim(valid, s, chunk)
+        t, u, v, ok = _tri_chunk_hits(rays.o, rays.d, cv0, ce1, ce2, cva)
+        t = jnp.where(ok, t, INF)
+        local = jnp.argmin(t, axis=1)
+        tmin = jnp.take_along_axis(t, local[:, None], axis=1)[:, 0]
+        umin = jnp.take_along_axis(u, local[:, None], axis=1)[:, 0]
+        vmin = jnp.take_along_axis(v, local[:, None], axis=1)[:, 0]
+        better = tmin < bt
+        return (
+            jnp.where(better, tmin, bt),
+            jnp.where(better, (s + local).astype(jnp.int32), bi),
+            jnp.where(better, umin, bu),
+            jnp.where(better, vmin, bv),
+        ), None
+
+    if n_chunks == 0:
+        return _v0()
+    (bt, bi, bu, bv), _ = lax.scan(
+        step, _v0(), jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return bt, bi, bu, bv
+
+
+def intersect_spheres(rays: Rays, center, radius, valid):
+    """Nearest sphere hit per ray; numerically-stable q-form quadratic
+    (reference: Src/primitive.h:133-177). Returns (t, idx)."""
+    o, d = rays.o, rays.d
+    ell = o[:, None, :] - center[None, :, :]            # (N, S, 3)
+    a = dot(d, d)[:, None]
+    b = 2.0 * jnp.einsum("nj,nsj->ns", d, ell)
+    c = jnp.einsum("nsj,nsj->ns", ell, ell) - (radius * radius)[None, :]
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b > 0.0, -0.5 * (b + sq), -0.5 * (b - sq))
+    q_safe = jnp.where(q == 0.0, 1.0, q)
+    x0 = q / a
+    x1 = jnp.where(q == 0.0, x0, c / q_safe)
+    t0 = jnp.minimum(x0, x1)
+    t1 = jnp.maximum(x0, x1)
+    t = jnp.where(t0 > 0.0, t0, t1)
+    ok = (disc >= 0.0) & (t > 0.0) & valid[None, :]
+    t = jnp.where(ok, t, INF)
+    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+    tmin = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+    idx = jnp.where(tmin < INF, idx, -1)
+    return tmin, idx
+
+
+def intersect_boxes(rays: Rays, bmin, bmax, valid):
+    """Nearest AABB hit per ray, slab method filling entry t0 and exit t1
+    (reference: Src/primitive.h:243-264). Returns (t0, t1, idx)."""
+    d = rays.d
+    # guard exactly-zero components (axis-aligned rays) against 0*inf NaNs
+    d_safe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    inv = 1.0 / d_safe
+    ta = (bmin[None, :, :] - rays.o[:, None, :]) * inv[:, None, :]
+    tb = (bmax[None, :, :] - rays.o[:, None, :]) * inv[:, None, :]
+    tmin = jnp.minimum(ta, tb)
+    tmax = jnp.maximum(ta, tb)
+    t0 = jnp.max(tmin, axis=-1)
+    t1 = jnp.min(tmax, axis=-1)
+    ok = (t0 <= t1) & (t1 > 0.0) & valid[None, :]
+    t0 = jnp.maximum(t0, 0.0)
+    t0 = jnp.where(ok, t0, INF)
+    t1 = jnp.where(ok, t1, INF)
+    idx = jnp.argmin(t0, axis=1).astype(jnp.int32)
+    e0 = jnp.take_along_axis(t0, idx[:, None], axis=1)[:, 0]
+    e1 = jnp.take_along_axis(t1, idx[:, None], axis=1)[:, 0]
+    idx = jnp.where(e0 < INF, idx, -1)
+    return e0, e1, idx
+
+
+def _gather3(a, i):
+    return a[jnp.maximum(i, 0)]
+
+
+def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
+    """Nearest hit across all primitive tables, with full surface record.
+
+    ``tri_fn`` lets the renderer swap in the Pallas triangle sweep while
+    keeping identical semantics.
+    """
+    tri_fn = tri_fn or intersect_triangles
+    n = rays.o.shape[0]
+
+    tt, ti, tu, tv = tri_fn(
+        rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_obj >= 0
+    )
+    st, si = intersect_spheres(
+        rays, scene.sph_center, scene.sph_radius, scene.sph_obj >= 0
+    )
+    b0, b1, bi = intersect_boxes(
+        rays, scene.box_min, scene.box_max, scene.box_obj >= 0
+    )
+
+    # winner: 0 = triangle, 1 = sphere, 2 = box
+    t_all = jnp.stack([tt, st, b0], axis=1)
+    kind = jnp.argmin(t_all, axis=1)
+    t = jnp.min(t_all, axis=1)
+    hit = t < INF
+
+    # triangle surface record (reference: Src/primitive.cpp:96-110)
+    tix = jnp.maximum(ti, 0)
+    tv0 = scene.tri_v0[tix]
+    te1 = scene.tri_e1[tix]
+    te2 = scene.tri_e2[tix]
+    w = (1.0 - tu - tv)[:, None]
+    tri_ng = normalize(cross(te1, te2))
+    # deliberate fix vs. the reference: barycentric-interpolated normals are
+    # re-normalized (Src/primitive.cpp:107 leaves them non-unit, which skews
+    # the ONB for smooth meshes; all reference scenes use flat normals).
+    tri_ns_raw = (
+        w * scene.tri_n0[tix]
+        + tu[:, None] * scene.tri_n1[tix]
+        + tv[:, None] * scene.tri_n2[tix]
+    )
+    tri_ns = normalize(tri_ns_raw, eps=1e-20)
+    tri_uv = (
+        w * scene.tri_uv0[tix]
+        + tu[:, None] * scene.tri_uv1[tix]
+        + tv[:, None] * scene.tri_uv2[tix]
+    )
+    tri_obj = jnp.where(ti >= 0, scene.tri_obj[tix], -1)
+
+    # sphere surface record (reference: Src/primitive.h:113-123)
+    six = jnp.maximum(si, 0)
+    sc = scene.sph_center[six]
+    sphere_pos = rays.at(st)
+    sph_ng = normalize(sphere_pos - sc)
+    sph_uv = jnp.stack(
+        [
+            (1.0 + jnp.arctan2(sph_ng[:, 2], sph_ng[:, 0]) / jnp.pi) * 0.5,
+            jnp.arccos(jnp.clip(sph_ng[:, 1], -1.0, 1.0)) / jnp.pi,
+        ],
+        axis=-1,
+    )
+    sph_obj = jnp.where(si >= 0, scene.sph_obj[six], -1)
+
+    # box record: t/t1 only, no surface (reference: Src/primitive.h:256-259)
+    bix = jnp.maximum(bi, 0)
+    box_obj = jnp.where(bi >= 0, scene.box_obj[bix], -1)
+
+    is_tri = (kind == 0) & hit
+    is_sph = (kind == 1) & hit
+    is_box = (kind == 2) & hit
+
+    obj = jnp.where(
+        is_tri, tri_obj, jnp.where(is_sph, sph_obj, jnp.where(is_box, box_obj, -1))
+    )
+    t = jnp.where(obj >= 0, t, INF)
+    t1 = jnp.where(is_box, b1, INF)
+
+    position = rays.at(jnp.where(obj >= 0, t, 0.0))
+    ng = jnp.where(is_tri[:, None], tri_ng, jnp.where(is_sph[:, None], sph_ng, 0.0))
+    ns = jnp.where(is_tri[:, None], tri_ns, jnp.where(is_sph[:, None], sph_ng, 0.0))
+    uv = jnp.where(is_tri[:, None], tri_uv, jnp.where(is_sph[:, None], sph_uv, 0.0))
+    # frame from the shading normal (reference: Src/primitive.cpp:107-108);
+    # guard the miss/box lanes so ONB math stays finite.
+    ns_safe = jnp.where((is_tri | is_sph)[:, None], ns, jnp.array([0.0, 1.0, 0.0]))
+    dpdu, dpdv = orthonormal_basis(ns_safe)
+    surf = (is_tri | is_sph)[:, None]
+    dpdu = jnp.where(surf, dpdu, 0.0)
+    dpdv = jnp.where(surf, dpdv, 0.0)
+
+    return Hit(
+        t=t,
+        t1=t1,
+        obj=obj,
+        position=position,
+        ng=ng,
+        ns=ns,
+        dpdu=dpdu,
+        dpdv=dpdv,
+        uv=uv,
+        bary=jnp.stack([tu, tv], axis=-1) * is_tri[:, None],
+    )
+
+
+def occluded(scene, rays: Rays, t_max, tri_fn=None):
+    """Shadow-ray test: any blocking hit with t < t_max.
+
+    Mirrors Src/scene.cpp:202-211: objects carrying an area light never
+    block. Medium boxes never block (deliberate fix, see module docstring).
+    Returns (N,) bool.
+    """
+    tri_fn = tri_fn or intersect_triangles
+    tri_light = scene.obj_light[jnp.maximum(scene.tri_obj, 0)]
+    tri_blocks = (scene.tri_obj >= 0) & (tri_light < 0)
+    tt, ti, _, _ = tri_fn(rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, tri_blocks)
+
+    sph_light = scene.obj_light[jnp.maximum(scene.sph_obj, 0)]
+    sph_blocks = (scene.sph_obj >= 0) & (sph_light < 0)
+    st, _ = intersect_spheres(rays, scene.sph_center, scene.sph_radius, sph_blocks)
+
+    return (tt < t_max) | (st < t_max)
