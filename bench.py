@@ -1,0 +1,56 @@
+"""Benchmark: GI Cornell box rays/s on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (SURVEY.md §6), so the baseline is the
+self-set target in BASELINE.json: primary-rays/s on the GI Cornell box
+(780x585, depth 3). ``vs_baseline`` is measured rays/s divided by the
+1e8 rays/s/chip target.
+"""
+
+import json
+import sys
+import time
+
+BASELINE_RAYS_PER_S = 1.0e8  # self-set target (BASELINE.md)
+
+
+def main():
+    import jax
+
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators import make_path_integrator
+    from xraytracer_tpu.renderer import render
+    from xraytracer_tpu.scene.builder import scene_statics
+    from xraytracer_tpu.scene.presets import build_cornell_box, cornell_camera
+
+    w, h = 780, 585
+    spp = 64
+    tables = build_cornell_box().build()
+    statics = scene_statics(tables)
+    camera = PinholeCamera.make(w / h, **cornell_camera())
+    integrate = make_path_integrator(
+        tables, statics, max_depth=3, nee=True, cosine_sampling=True
+    )
+
+    # warmup (compile) at 1 spp
+    render(tables, camera, integrate, w, h, 1, seed=0)
+    # timed run
+    r = render(tables, camera, integrate, w, h, spp, seed=0)
+    rays_per_s = r.samples_per_sec  # primary camera rays per second
+
+    print(
+        json.dumps(
+            {
+                "metric": "gi_cornell_primary_rays_per_s",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

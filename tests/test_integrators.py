@@ -1,0 +1,189 @@
+"""Integrator-level tests: cross-integrator consistency, analytic direct
+lighting, renderer determinism/chunking/sharding/checkpointing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xraytracer_tpu.camera import PinholeCamera
+from xraytracer_tpu.integrators import (
+    make_direct_integrator,
+    make_normal_integrator,
+    make_path_integrator,
+    make_whitted_integrator,
+)
+from xraytracer_tpu.math import from_rows
+from xraytracer_tpu.renderer import (
+    Accumulator,
+    default_mesh,
+    pixel_sharding,
+    render,
+)
+from xraytracer_tpu.scene.builder import SceneBuilder, scene_statics
+from xraytracer_tpu.scene.presets import build_cornell_box, cornell_camera
+
+W, H = 40, 30
+
+
+def _cornell():
+    tables = build_cornell_box().build()
+    return tables, scene_statics(tables), PinholeCamera.make(W / H, **cornell_camera())
+
+
+def test_normal_integrator_range():
+    tables, statics, cam = _cornell()
+    r = render(tables, cam, make_normal_integrator(tables), W, H, 1)
+    assert r.image.min() >= 0.0 and r.image.max() <= 1.0
+    # a large fraction of pixels see a surface whose normal faces the
+    # camera (-z): back wall / block fronts -> viz 0.5*(n+1) = (.5, .5, 0)
+    frontish = np.isclose(r.image, [0.5, 0.5, 0.0], atol=1e-3).all(-1)
+    assert frontish.mean() > 0.08
+
+
+def test_gi_depth1_equals_direct_on_hits():
+    """GI with max_depth=1 = emitter Le + one NEE bounce = Direct integrator
+    on every pixel that hits geometry (the only divergence is the miss
+    background: 0 vs 0.18, Src/integrator.h:114)."""
+    tables, statics, _ = _cornell()
+    # narrow the FOV so every primary ray hits geometry (at fov 60 the frame
+    # edges miss the open Cornell front and the two integrators differ only
+    # in their background constant)
+    cam = PinholeCamera.make(W / H, c2w=cornell_camera()["c2w"], fov_deg=40.0)
+    r_gi = render(
+        tables, cam,
+        make_path_integrator(tables, statics, max_depth=1, nee=True),
+        W, H, 4, seed=5,
+    )
+    r_di = render(
+        tables, cam, make_direct_integrator(tables, statics), W, H, 4, seed=5
+    )
+    np.testing.assert_allclose(r_gi.image, r_di.image, atol=1e-5)
+
+
+def test_gi_brightens_with_depth():
+    """More bounces can only add energy (all terms non-negative)."""
+    tables, statics, cam = _cornell()
+    imgs = []
+    for depth in (1, 3):
+        r = render(
+            tables, cam,
+            make_path_integrator(tables, statics, max_depth=depth, nee=True),
+            W, H, 8, seed=2,
+        )
+        imgs.append(r.image.mean())
+    assert imgs[1] > imgs[0]
+
+
+def test_uniform_vs_cosine_sampling_agree():
+    """Both Lambert sampling strategies estimate the same integral."""
+    tables, statics, cam = _cornell()
+    r_u = render(
+        tables, cam,
+        make_path_integrator(tables, statics, 3, nee=True, cosine_sampling=False),
+        W, H, 64, seed=1,
+    )
+    r_c = render(
+        tables, cam,
+        make_path_integrator(tables, statics, 3, nee=True, cosine_sampling=True),
+        W, H, 64, seed=2,
+    )
+    # compare downsampled means (MC noise at 64 spp)
+    np.testing.assert_allclose(r_u.image.mean(), r_c.image.mean(), rtol=0.05)
+
+
+def test_whitted_mirror_glass_live():
+    """Mirror and Glass branches are reachable (unlike the reference, where
+    MaterialType::Metals/Glass have no classes — Src/integrator.h:344-381)."""
+    b = SceneBuilder()
+    floor = np.asarray(
+        [
+            [[-10, 0, -10], [10, 0, -10], [-10, 0, 10]],
+            [[10, 0, -10], [10, 0, 10], [-10, 0, 10]],
+        ],
+        np.float32,
+    )
+    b.add_mesh(floor, material=b.add_lambert((0.8, 0.2, 0.2)))
+    b.add_sphere((-1.5, 1.0, 0.0), 1.0, material=b.add_mirror())
+    b.add_sphere((1.5, 1.0, 0.0), 1.0, material=b.add_glass())
+    b.add_point_light((0.0, 8.0, 4.0), (1, 1, 1), 200.0)
+    tables = b.build()
+    statics = scene_statics(tables)
+    c2w = from_rows(1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 1.5, 8.0, 1)
+    cam = PinholeCamera.make(1.0, c2w=c2w, fov_deg=45.0)
+    r = render(
+        tables, cam, make_whitted_integrator(tables, statics, 4), 48, 48, 8
+    )
+    assert r.n_rejected == 0
+    assert np.isfinite(r.image).all()
+    # mirror sphere reflects floor/sky -> nonuniform; glass transmits
+    assert r.image.std() > 0.05
+
+
+def test_render_deterministic():
+    tables, statics, cam = _cornell()
+    integ = make_path_integrator(tables, statics, 2, nee=True)
+    r1 = render(tables, cam, integ, W, H, 4, seed=9)
+    r2 = render(tables, cam, integ, W, H, 4, seed=9)
+    np.testing.assert_array_equal(r1.image, r2.image)
+
+
+def test_render_chunked_equals_unchunked():
+    """spp chunking never changes the image (counter-based RNG)."""
+    tables, statics, cam = _cornell()
+    integ = make_path_integrator(tables, statics, 2, nee=True)
+    r1 = render(tables, cam, integ, W, H, 6, seed=4)
+    r2 = render(tables, cam, integ, W, H, 6, seed=4, spp_chunk=2)
+    np.testing.assert_allclose(r1.image, r2.image, atol=1e-6)
+
+
+def test_render_sharded_equals_single(tmp_path):
+    """Pixel-axis sharding over the 8-device CPU mesh is bitwise-stable
+    vs. the unsharded render (SURVEY.md §7 multi-host determinism)."""
+    tables, statics, cam = _cornell()
+    integ = make_path_integrator(tables, statics, 2, nee=True)
+    r1 = render(tables, cam, integ, W, H, 2, seed=4)
+    mesh = default_mesh()
+    assert mesh.size == 8  # conftest forces 8 virtual devices
+    r2 = render(
+        tables, cam, integ, W, H, 2, seed=4,
+        sharding=pixel_sharding(mesh),
+    )
+    np.testing.assert_allclose(r1.image, r2.image, atol=1e-6)
+
+
+def test_checkpoint_resume(tmp_path):
+    tables, statics, cam = _cornell()
+    integ = make_path_integrator(tables, statics, 2, nee=True)
+    full = render(tables, cam, integ, W, H, 4, seed=3)
+    ckpt = os.path.join(tmp_path, "acc.npz")
+    # render half, "crash", resume from checkpoint
+    render(
+        tables, cam, integ, W, H, 2, seed=3, spp_chunk=1, checkpoint_path=ckpt
+    )
+    acc = Accumulator.load(ckpt)
+    assert acc.spp_done == 2
+    resumed = render(
+        tables, cam, integ, W, H, 4, seed=3, spp_chunk=1, accumulator=acc
+    )
+    np.testing.assert_allclose(full.image, resumed.image, atol=1e-6)
+
+
+def test_nan_rejection_counts():
+    """Inject a NaN-producing integrator and check rejection semantics
+    (Src/renderer.cpp:56-73: sample dropped, still divided by full spp)."""
+    tables, statics, cam = _cornell()
+
+    def bad_integrator(rays, keys):
+        n = rays.o.shape[0]
+        out = jnp.ones((n, 3))
+        # first lane NaN, second negative
+        out = out.at[0, 0].set(jnp.nan)
+        out = out.at[1, 1].set(-1.0)
+        return out
+
+    r = render(tables, cam, bad_integrator, W, H, 2, seed=0)
+    assert r.n_rejected == 4  # 2 bad lanes x 2 spp
+    np.testing.assert_allclose(r.image.reshape(-1, 3)[0], 0.0)
+    np.testing.assert_allclose(r.image.reshape(-1, 3)[2], 1.0)

@@ -158,3 +158,72 @@ def test_empty_scene_misses():
     h = intersect_scene(s, make_rays([0, 0, 0], [0, 0, -1]))
     assert not bool(h.hit[0])
     assert float(h.t[0]) > 1e30
+
+def test_mm_formulation_matches_reference_path():
+    """The MXU (matmul) Möller-Trumbore agrees with the chunked classic
+    form on random scenes: same winner, same t/u/v within f32 tolerance."""
+    rng = np.random.default_rng(0)
+    tris = rng.uniform(-5, 5, (256, 3, 3)).astype(np.float32)
+    b = SceneBuilder()
+    b.add_mesh(tris, material=b.add_lambert((1, 1, 1)))
+    s = b.build()
+    n = 512
+    o = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays(o=jnp.asarray(o), d=jnp.asarray(d))
+    valid = s.tri_obj >= 0
+
+    ref = jax.jit(xi.intersect_triangles)(
+        rays, s.tri_v0, s.tri_e1, s.tri_e2, valid
+    )
+    mm = jax.jit(xi.intersect_triangles_mm)(
+        rays, s.tri_v0, s.tri_e1, s.tri_e2, valid
+    )
+    rt, ri, ru, rv = (np.asarray(x) for x in ref)
+    mt, mi, mu, mv = (np.asarray(x) for x in mm)
+    hit_ref = ri >= 0
+    # same hit/miss classification (allow f32 ties at grazing angles/edges:
+    # the expanded products round differently from the classic form)
+    agree = hit_ref == (mi >= 0)
+    assert agree.mean() > 0.985
+    both = hit_ref & (mi >= 0) & agree
+    # where the same triangle wins, t/u/v match tightly
+    same = both & (ri == mi)
+    assert same.sum() > 0.9 * both.sum()
+    np.testing.assert_allclose(mt[same], rt[same], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(mu[same], ru[same], atol=2e-3)
+    np.testing.assert_allclose(mv[same], rv[same], atol=2e-3)
+    # a different winner is legitimate only when the two intersections are a
+    # near-tie — the hit distance must still agree
+    diff = both & (ri != mi)
+    if diff.any():
+        np.testing.assert_allclose(mt[diff], rt[diff], rtol=5e-3)
+
+
+def test_mm_formulation_cornell_scale():
+    """Large-coordinate scene (Cornell ~550 units): centering keeps the
+    expanded triple products accurate."""
+    from xraytracer_tpu.scene.presets import build_cornell_box
+
+    s = build_cornell_box().build()
+    rng = np.random.default_rng(1)
+    n = 256
+    o = np.tile(np.asarray([[278.0, 274.4, -750.0]], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2])  # toward the box
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays(o=jnp.asarray(o), d=jnp.asarray(d))
+    valid = s.tri_obj >= 0
+    ref = jax.jit(xi.intersect_triangles)(
+        rays, s.tri_v0, s.tri_e1, s.tri_e2, valid
+    )
+    mm = jax.jit(xi.intersect_triangles_mm)(
+        rays, s.tri_v0, s.tri_e1, s.tri_e2, valid
+    )
+    rt, ri, _, _ = (np.asarray(x) for x in ref)
+    mt, mi, _, _ = (np.asarray(x) for x in mm)
+    same = ri == mi
+    assert same.mean() > 0.99
+    hit = same & (ri >= 0)
+    np.testing.assert_allclose(mt[hit], rt[hit], rtol=5e-4)

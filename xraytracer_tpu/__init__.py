@@ -27,5 +27,18 @@ __version__ = "0.1.0"
 from . import constants
 from . import math  # noqa: F401
 from . import sampling  # noqa: F401
+from . import geometry  # noqa: F401
+from . import scene  # noqa: F401
+from . import materials  # noqa: F401
+from . import lights  # noqa: F401
+from . import media  # noqa: F401
+from . import integrators  # noqa: F401
+from . import renderer  # noqa: F401
+from .camera import PinholeCamera
+from .film import write_image
 
-__all__ = ["constants", "math", "sampling", "__version__"]
+__all__ = [
+    "constants", "math", "sampling", "geometry", "scene", "materials",
+    "lights", "media", "integrators", "renderer", "PinholeCamera",
+    "write_image", "__version__",
+]

@@ -1,0 +1,148 @@
+"""One ``render`` CLI replacing the reference's five example mains.
+
+The reference ships five binaries each hard-coding resolution/spp/depth/
+camera/scene/integrator and ignoring argv entirely (reference:
+Src/examples/example.cpp:19-103 etc.; SURVEY.md §2.3). Here a single entry
+point selects a preset and lets every knob be overridden:
+
+    python -m xraytracer_tpu.cli --preset cornellbox_gi --spp 64 -o out.png
+"""
+
+import argparse
+import sys
+import time
+
+from .camera import PinholeCamera
+from .config import PRESETS, get_preset
+from .film import write_image
+from .integrators import (
+    make_direct_integrator,
+    make_normal_integrator,
+    make_path_integrator,
+    make_volume_integrator,
+    make_whitted_integrator,
+)
+from .renderer import Accumulator, default_mesh, pixel_sharding, render
+from .scene.builder import scene_statics
+from .scene import presets as scene_presets
+
+
+def build_scene(cfg):
+    """Preset name (or --obj path) -> (tables, camera_kwargs)."""
+    if cfg.obj:
+        from .scene.builder import SceneBuilder
+        from .scene.objloader import load_obj_into
+        from .scene.presets import cornell_camera
+
+        b = SceneBuilder()
+        load_obj_into(b, cfg.obj)
+        return b.build(), cornell_camera()
+    fn = getattr(scene_presets, f"preset_{cfg.preset}")
+    tables, cam_kwargs, _ = fn()
+    return tables, cam_kwargs
+
+
+def make_integrator(cfg, tables, statics):
+    if cfg.integrator == "normal":
+        return make_normal_integrator(tables)
+    if cfg.integrator == "direct":
+        return make_direct_integrator(tables, statics)
+    if cfg.integrator == "indirect":
+        return make_path_integrator(
+            tables, statics, cfg.max_depth, nee=False,
+            cosine_sampling=cfg.cosine_sampling,
+        )
+    if cfg.integrator == "gi":
+        return make_path_integrator(
+            tables, statics, cfg.max_depth, nee=True,
+            cosine_sampling=cfg.cosine_sampling,
+        )
+    if cfg.integrator == "whitted":
+        return make_whitted_integrator(tables, statics, cfg.max_depth)
+    if cfg.integrator == "vpt":
+        return make_volume_integrator(
+            tables, statics, cfg.max_depth, nee=False, max_steps=cfg.max_steps
+        )
+    if cfg.integrator == "vpt_nee":
+        return make_volume_integrator(
+            tables, statics, cfg.max_depth, nee=True, max_steps=cfg.max_steps
+        )
+    raise ValueError(f"unknown integrator {cfg.integrator!r}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="xraytracer_tpu",
+        description="TPU-native Monte-Carlo path tracer",
+    )
+    p.add_argument("--preset", choices=sorted(PRESETS), default="cornellbox")
+    p.add_argument("--integrator", default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--spp", type=int, default=None)
+    p.add_argument("--max-depth", type=int, default=None, dest="max_depth")
+    p.add_argument("--gamma", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--spp-chunk", type=int, default=None, dest="spp_chunk")
+    p.add_argument("--cosine", action="store_true", default=None,
+                   dest="cosine_sampling",
+                   help="cosine-weighted Lambert sampling (lower variance)")
+    p.add_argument("--shard", action="store_true", default=None,
+                   help="shard the pixel axis over all local devices")
+    p.add_argument("--checkpoint", default=None,
+                   help=".npz path for chunked accumulation checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
+    p.add_argument("--obj", default=None, help="render an .obj scene file")
+    p.add_argument("-o", "--output", default=None)
+    args = p.parse_args(argv)
+
+    cfg = get_preset(
+        args.preset,
+        integrator=args.integrator, width=args.width, height=args.height,
+        spp=args.spp, max_depth=args.max_depth, gamma=args.gamma,
+        seed=args.seed, spp_chunk=args.spp_chunk,
+        cosine_sampling=args.cosine_sampling, shard=args.shard,
+        checkpoint=args.checkpoint, obj=args.obj, output=args.output,
+    )
+
+    tables, cam_kwargs = build_scene(cfg)
+    statics = scene_statics(tables)
+    camera = PinholeCamera.make(cfg.width / cfg.height, **cam_kwargs)
+    integrate = make_integrator(cfg, tables, statics)
+
+    sharding = None
+    if cfg.shard:
+        sharding = pixel_sharding(default_mesh())
+
+    accumulator = None
+    if args.resume and cfg.checkpoint:
+        import os
+
+        if os.path.exists(cfg.checkpoint):
+            accumulator = Accumulator.load(cfg.checkpoint)
+            print(f"resuming from {cfg.checkpoint} at spp {accumulator.spp_done}")
+
+    print(
+        f"[render] preset={cfg.preset} integrator={cfg.integrator} "
+        f"{cfg.width}x{cfg.height} spp={cfg.spp} depth={cfg.max_depth}"
+    )
+    t0 = time.perf_counter()
+    result = render(
+        tables, camera, integrate, cfg.width, cfg.height, cfg.spp,
+        seed=cfg.seed, spp_chunk=cfg.spp_chunk or None,
+        accumulator=accumulator, checkpoint_path=cfg.checkpoint,
+        sharding=sharding,
+    )
+    print(
+        f"[render] done in {result.seconds:.2f}s "
+        f"({result.samples_per_sec/1e6:.2f} Msamples/s, "
+        f"{result.n_rejected} rejected)"
+    )
+    write_image(cfg.output, result.image, gamma=cfg.gamma)
+    print(f"[render] wrote {cfg.output} (total {time.perf_counter()-t0:.2f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

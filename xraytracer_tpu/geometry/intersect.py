@@ -107,6 +107,143 @@ def intersect_triangles(rays: Rays, v0, e1, e2, valid, chunk=TRI_CHUNK):
     return bt, bi, bu, bv
 
 
+def _tri_features(v0, e1, e2):
+    """Per-triangle feature matrix for the MXU formulation of
+    Möller-Trumbore. Each of det / u_num / v_num / t_num is a scalar triple
+    product, which is bilinear between per-RAY quantities and per-TRIANGLE
+    quantities:
+
+        det   = e1.(d x e2)        = -d . ng                 (ng = e1 x e2)
+        u_num = (o - v0).(d x e2)  = (o x d).e2 + d.(v0 x e2)
+        v_num = d.((o - v0) x e1)  = -(o x d).e1 + d.(e1 x v0)
+        t_num = e2.((o - v0) x e1) = o.ng - v0.ng
+
+    With ray features F = [o x d, d, o, 1] (N, 10), all four values for all
+    (ray, triangle) pairs are ONE matmul F @ G with G (10, 4T) — this is
+    what moves the intersection sweep from the VPU onto the MXU. Returns G.
+    """
+    ng = cross(e1, e2)
+    zeros = jnp.zeros_like(v0)
+    zcol = jnp.zeros_like(v0[:, :1])
+    # columns: [coeff of (o x d) (3), coeff of d (3), coeff of o (3), const]
+    g_det = jnp.concatenate([zeros, -ng, zeros, zcol], axis=1)
+    g_u = jnp.concatenate(
+        [e2, cross(v0, e2), zeros, zcol], axis=1
+    )
+    g_v = jnp.concatenate(
+        [-e1, cross(e1, v0), zeros, zcol], axis=1
+    )
+    g_t = jnp.concatenate(
+        [zeros, zeros, ng, -dot(v0, ng)[:, None]], axis=1
+    )
+    # (T, 4, 10) -> (10, 4T), laid out so a chunk slice stays contiguous
+    return jnp.stack([g_det, g_u, g_v, g_t], axis=1).reshape(-1, 10).T
+
+
+def _ray_features(o, d):
+    """(N, 10) ray features [o x d, d, o, 1] for the MXU formulation."""
+    return jnp.concatenate(
+        [cross(o, d), d, o, jnp.ones_like(o[:, :1])], axis=1
+    )
+
+
+# Triangle chunk per scan step of the matmul formulation.
+TRI_CHUNK_MM = 512
+
+
+def intersect_triangles_mm(rays: Rays, v0, e1, e2, valid, chunk=TRI_CHUNK_MM):
+    """MXU-path nearest-hit: identical contract to ``intersect_triangles``
+    but the inner sweep is (N, 10) @ (10, 4C) matmuls scanned over triangle
+    chunks, with a division-free hit test; (u, v) for the winning triangle
+    are recomputed once per ray with the numerically-stable classic form.
+
+    To bound cancellation in the expanded triple products the scene is
+    re-centered about the triangle-table centroid (both formulations are
+    translation invariant; the expansion is not, so centering keeps the
+    products small).
+    """
+    n = rays.o.shape[0]
+    t_total = v0.shape[0]
+    chunk = min(chunk, t_total)
+    n_chunks = t_total // chunk if t_total else 0
+    if n_chunks == 0 or t_total % chunk:
+        return intersect_triangles(rays, v0, e1, e2, valid)
+
+    center = jnp.mean(v0, axis=0)
+    g = _tri_features(v0 - center, e1, e2)          # (10, 4T)
+    g = g.T.reshape(t_total, 4, 10)                  # chunkable on axis 0
+    f = _ray_features(rays.o - center, rays.d)       # (N, 10)
+    big = jnp.float32(3.4e38)
+    valid_f = valid.astype(jnp.float32)
+
+    def step(carry, ci):
+        bt, bi = carry
+        s = ci * chunk
+        gc = lax.dynamic_slice_in_dim(g, s, chunk).reshape(chunk * 4, 10)
+        vc = lax.dynamic_slice_in_dim(valid_f, s, chunk)
+        # HIGHEST: true-f32 MXU passes. DEFAULT would be bf16 (rel err ~3e-3)
+        # — enough to flip hit/miss on ~2% of rays; geometry needs f32.
+        prod = jnp.dot(
+            f, gc.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        prod = prod.reshape(n, chunk, 4)
+        det = prod[..., 0]
+        u_num = prod[..., 1]
+        v_num = prod[..., 2]
+        t_num = prod[..., 3]
+        # division-free hit test: with s = sign(det), a = |det|
+        sgn = jnp.sign(det)
+        absd = jnp.abs(det)
+        u_s = u_num * sgn
+        v_s = v_num * sgn
+        t_s = t_num * sgn
+        ok = (
+            (absd >= K_EPS)
+            & (u_s >= 0.0)
+            & (v_s >= 0.0)
+            & (u_s + v_s <= absd)
+            & (t_s > K_EPS * absd)
+            & (vc[None, :] > 0.0)
+        )
+        t = jnp.where(ok, t_num / jnp.where(det == 0.0, 1.0, det), big)
+        local = jnp.argmin(t, axis=1)
+        tmin = jnp.take_along_axis(t, local[:, None], axis=1)[:, 0]
+        better = tmin < bt
+        return (
+            jnp.where(better, tmin, bt),
+            jnp.where(better, (s + local).astype(jnp.int32), bi),
+        ), None
+
+    (bt, bi), _ = lax.scan(
+        step,
+        (jnp.full((n,), big), jnp.full((n,), -1, jnp.int32)),
+        jnp.arange(n_chunks, dtype=jnp.int32),
+    )
+
+    # winner epilogue: stable classic MT for just (N,) pairs
+    ix = jnp.maximum(bi, 0)
+    w_v0 = v0[ix]
+    w_e1 = e1[ix]
+    w_e2 = e2[ix]
+    pvec = cross(rays.d, w_e2)
+    det = dot(w_e1, pvec)
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    tvec = rays.o - w_v0
+    bu = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, w_e1)
+    bv = dot(rays.d, qvec) * inv_det
+    bt_stable = dot(w_e2, qvec) * inv_det
+    hit = bi >= 0
+    return (
+        jnp.where(hit, bt_stable, INF),
+        bi,
+        jnp.where(hit, bu, 0.0),
+        jnp.where(hit, bv, 0.0),
+    )
+
+
 def intersect_spheres(rays: Rays, center, radius, valid):
     """Nearest sphere hit per ray; numerically-stable q-form quadratic
     (reference: Src/primitive.h:133-177). Returns (t, idx)."""
@@ -163,10 +300,10 @@ def _gather3(a, i):
 def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
     """Nearest hit across all primitive tables, with full surface record.
 
-    ``tri_fn`` lets the renderer swap in the Pallas triangle sweep while
-    keeping identical semantics.
+    ``tri_fn`` lets the renderer swap the triangle sweep implementation;
+    the MXU matmul formulation is the default.
     """
-    tri_fn = tri_fn or intersect_triangles
+    tri_fn = tri_fn or intersect_triangles_mm
     n = rays.o.shape[0]
 
     tt, ti, tu, tv = tri_fn(
@@ -269,7 +406,7 @@ def occluded(scene, rays: Rays, t_max, tri_fn=None):
     block. Medium boxes never block (deliberate fix, see module docstring).
     Returns (N,) bool.
     """
-    tri_fn = tri_fn or intersect_triangles
+    tri_fn = tri_fn or intersect_triangles_mm
     tri_light = scene.obj_light[jnp.maximum(scene.tri_obj, 0)]
     tri_blocks = (scene.tri_obj >= 0) & (tri_light < 0)
     tt, ti, _, _ = tri_fn(rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, tri_blocks)

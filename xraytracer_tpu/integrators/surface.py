@@ -1,0 +1,304 @@
+"""Surface integrators: Normal, Furnace, Direct, Indirect/GI, Whitted.
+
+TPU-native counterpart of the reference's recursive/iterative per-ray
+integrators (reference: Src/integrator.h:22-398). Every integrator is a
+factory closing over the scene tables and scene statics; the returned
+``integrate(rays, keys) -> (N, 3)`` runs the whole wavefront through a
+``lax.fori_loop`` over bounce index with per-lane active masks — break
+becomes mask-kill, Russian roulette becomes masked kill + throughput boost
+(SURVEY.md §7).
+
+RNG site layout: each bounce reserves ``SITES_PER_BOUNCE`` sites; within a
+bounce, site 0 is RR, 1 is the BSDF 2-uniform, 2 the BSDF lobe choice, and
+16+i the i-th light sample.
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import INF, SHADOW_BIAS
+from ..geometry import Rays, intersect_scene, occluded
+from ..lights import area_light_le, sample_area_light, sample_delta_light
+from ..materials import eval_bsdf, sample_bsdf
+from ..math import dot, local_to_world, world_to_local
+from ..sampling import SITES_PER_BOUNCE, uniform1, uniform2
+
+_SITE_RR = 0
+_SITE_BSDF = 1
+_SITE_LOBE = 2
+_SITE_LIGHT0 = 16
+
+
+def _obj_light(scene, obj):
+    """Object id -> area-light row (-1 = none), the ``hasAreaLight`` check
+    (reference: Src/primitive.h:56-58)."""
+    return jnp.where(obj >= 0, scene.obj_light[jnp.maximum(obj, 0)], -1)
+
+
+def make_normal_integrator(scene, tri_fn=None):
+    """Normal visualization 0.5*(ns+1) (reference: Src/integrator.h:22-36).
+    Black on miss."""
+
+    def integrate(rays: Rays, keys):
+        hit = intersect_scene(scene, rays, tri_fn=tri_fn)
+        viz = 0.5 * (hit.ns + 1.0)
+        return jnp.where(hit.hit[:, None], viz, 0.0)
+
+    return integrate
+
+
+def make_furnace_integrator(scene, tri_fn=None, cosine_sampling=False):
+    """The reference's latent furnace test (dead code at
+    Src/integrator.h:59-66), resurrected live: one BSDF sample, returns
+    fr * cos / pdf whose expectation is the albedo — the analytic
+    correctness gate for sampler + BSDF plumbing (SURVEY.md §4a)."""
+
+    def integrate(rays: Rays, keys):
+        hit = intersect_scene(scene, rays, tri_fn=tri_fn)
+        wo = world_to_local(-rays.d, hit.dpdu, hit.ns, hit.dpdv)
+        u2 = uniform2(keys, _SITE_BSDF)
+        ul = uniform1(keys, _SITE_LOBE)
+        bs = sample_bsdf(scene, hit.obj, wo, u2, ul, cosine_sampling)
+        return jnp.where(hit.hit[:, None], bs.weight, 0.0)
+
+    return integrate
+
+
+def _nee_area_lights(scene, statics, hit, d_in, throughput, keys, site0, tri_fn):
+    """Per-vertex NEE summed over ALL area lights (reference:
+    Src/integrator.h:93-109 and 250-269: no light selection, no MIS).
+
+    cos is clamped against the geometric normal and shadow rays start at
+    position + 0.01 * ng with range tmax - 0.01, exactly as the reference.
+    """
+    direct = jnp.zeros_like(throughput)
+    for i in range(statics["n_area_lights"]):
+        lidx = jnp.full(hit.obj.shape, i, jnp.int32)
+        u2 = uniform2(keys, site0 + i)
+        ls = sample_area_light(scene, lidx, hit.position, u2)
+        ok = ls.pdf > 0.0
+        srays = Rays(o=hit.position + hit.ng * SHADOW_BIAS, d=ls.wi)
+        vis = ~occluded(scene, srays, ls.t_max - SHADOW_BIAS, tri_fn=tri_fn)
+        cos = jnp.maximum(0.0, dot(hit.ng, ls.wi))
+        wo_l = world_to_local(-d_in, hit.dpdu, hit.ns, hit.dpdv)
+        wi_l = world_to_local(ls.wi, hit.dpdu, hit.ns, hit.dpdv)
+        fr = eval_bsdf(scene, hit.obj, wo_l, wi_l)
+        pdf = jnp.where(ok, ls.pdf, 1.0)
+        contrib = (vis & ok)[:, None] * fr * ls.le * (cos / pdf)[:, None]
+        direct = direct + contrib
+    return direct
+
+
+def make_direct_integrator(scene, statics, tri_fn=None):
+    """One-bounce direct lighting (reference: Src/integrator.h:76-120):
+    emitter hit -> Le; surface -> NEE over all area lights; miss -> 0.18
+    background."""
+
+    def integrate(rays: Rays, keys):
+        hit = intersect_scene(scene, rays, tri_fn=tri_fn)
+        lrow = _obj_light(scene, hit.obj)
+        le = area_light_le(scene, lrow, -rays.d, hit.ns)
+        is_emitter = lrow >= 0
+        direct = _nee_area_lights(
+            scene, statics, hit, rays.d, jnp.ones_like(le), keys, _SITE_LIGHT0,
+            tri_fn,
+        )
+        out = jnp.where(is_emitter[:, None], le, direct)
+        return jnp.where(hit.hit[:, None], out, jnp.full_like(le, 0.18))
+
+    return integrate
+
+
+def make_path_integrator(
+    scene, statics, max_depth, nee=True, le_depth0_only=None,
+    cosine_sampling=False, tri_fn=None,
+):
+    """Indirect (``nee=False``) and GI (``nee=True``) path tracing
+    (reference: Src/integrator.h:122-190 and 198-291).
+
+    Reference semantics preserved: RR on mean throughput for depth > 0
+    BEFORE the emitter check; emitter hits terminate the path; with NEE the
+    emitter contributes only at depth 0 (no MIS, Src/integrator.h:236-244);
+    without NEE it contributes at every depth; background is black;
+    re-origin at +0.01*ng (flipped for glass transmission — live Mirror /
+    Glass materials are an extension, see materials.py).
+    """
+    if le_depth0_only is None:
+        le_depth0_only = nee
+
+    def integrate(rays: Rays, keys):
+        n = rays.o.shape[0]
+
+        def bounce(depth, state):
+            radiance, throughput, o, d, active = state
+            site = depth * SITES_PER_BOUNCE
+            cur = Rays(o=o, d=d)
+            hit = intersect_scene(scene, cur, tri_fn=tri_fn)
+
+            # miss -> black background, kill (Src/integrator.h:216-221)
+            active = active & hit.hit
+
+            # Russian roulette for depth > 0 (Src/integrator.h:224-231)
+            rr_prob = jnp.minimum(jnp.mean(throughput, axis=-1), 1.0)
+            u_rr = uniform1(keys, site + _SITE_RR)
+            do_rr = depth > 0
+            killed = do_rr & (u_rr >= rr_prob)
+            active = active & ~killed
+            throughput = jnp.where(
+                (do_rr & active)[:, None],
+                throughput / jnp.maximum(rr_prob, 1e-12)[:, None],
+                throughput,
+            )
+
+            # emitter hit (Src/integrator.h:234-245)
+            lrow = _obj_light(scene, hit.obj)
+            is_emitter = active & (lrow >= 0)
+            le = area_light_le(scene, lrow, -d, hit.ns)
+            add_le = is_emitter & (
+                (depth == 0) if le_depth0_only else jnp.bool_(True)
+            )
+            radiance = radiance + jnp.where(
+                add_le[:, None], throughput * le, 0.0
+            )
+            active = active & ~is_emitter
+
+            # NEE (Src/integrator.h:250-269)
+            if nee and statics["n_area_lights"] > 0:
+                direct = _nee_area_lights(
+                    scene, statics, hit, d, throughput, keys,
+                    site + _SITE_LIGHT0, tri_fn,
+                )
+                radiance = radiance + jnp.where(
+                    active[:, None], throughput * direct, 0.0
+                )
+
+            # BSDF bounce (Src/integrator.h:271-283)
+            wo_l = world_to_local(-d, hit.dpdu, hit.ns, hit.dpdv)
+            u2 = uniform2(keys, site + _SITE_BSDF)
+            ul = uniform1(keys, site + _SITE_LOBE)
+            bs = sample_bsdf(scene, hit.obj, wo_l, u2, ul, cosine_sampling)
+            wi = local_to_world(bs.wi, hit.dpdu, hit.ns, hit.dpdv)
+            throughput = jnp.where(
+                active[:, None], throughput * bs.weight, throughput
+            )
+            # dead lanes from zero-weight bounces die too
+            active = active & jnp.any(throughput > 0.0, axis=-1)
+            incoming_sign = -jnp.sign(dot(d, hit.ng))
+            sign = jnp.where(bs.flip_side, -incoming_sign, incoming_sign)
+            o = jnp.where(
+                active[:, None],
+                hit.position + (sign * SHADOW_BIAS)[:, None] * hit.ng,
+                o,
+            )
+            d = jnp.where(active[:, None], wi, d)
+            return radiance, throughput, o, d, active
+
+        state = (
+            jnp.zeros((n, 3)),
+            jnp.ones((n, 3)),
+            rays.o,
+            rays.d,
+            jnp.ones((n,), bool),
+        )
+        radiance, *_ = lax.fori_loop(0, max_depth, bounce, state)
+        return radiance
+
+    return integrate
+
+
+_SKY = jnp.array([0.235294, 0.67451, 0.843137])
+
+
+def make_whitted_integrator(scene, statics, max_depth=3, tri_fn=None):
+    """Whitted-style tracing (reference: Src/integrator.h:294-398).
+
+    The reference's BFS ray queue becomes a single wavefront ray per lane:
+    Lambert terminates with delta-light NEE; Metals reflect (throughput
+    x0.8); Glass picks reflect/refract stochastically by Fresnel weight
+    (throughput x0.9) — the queue's both-branch splitting
+    (Src/integrator.h:355-381) replaced by unbiased one-sample selection,
+    which averages to the same image over spp. Sky color on miss and on
+    depth overflow (Src/integrator.h:317-320,385-389). Reference quirks kept:
+    shadow bias 0.1 (not 0.01), shadow range t_max (not t_max - bias), NEE
+    cos against the SHADING normal (Src/integrator.h:334-339).
+    """
+
+    def integrate(rays: Rays, keys):
+        n = rays.o.shape[0]
+
+        def bounce(depth, state):
+            radiance, throughput, o, d, active = state
+            site = depth * SITES_PER_BOUNCE
+            cur = Rays(o=o, d=d)
+            hit = intersect_scene(scene, cur, tri_fn=tri_fn)
+
+            missed = active & ~hit.hit
+            radiance = radiance + jnp.where(
+                missed[:, None], throughput * _SKY, 0.0
+            )
+            active = active & hit.hit
+
+            mtype = jnp.where(
+                hit.obj >= 0,
+                scene.mat_type[jnp.maximum(scene.obj_mat[jnp.maximum(hit.obj, 0)], 0)],
+                -1,
+            )
+            has_mat = (hit.obj >= 0) & (
+                scene.obj_mat[jnp.maximum(hit.obj, 0)] >= 0
+            )
+            mtype = jnp.where(has_mat, mtype, -1)
+
+            # Lambert: delta-light NEE, terminate (Src/integrator.h:328-343)
+            is_lambert = active & (mtype == 0)
+            direct = jnp.zeros((n, 3))
+            for i in range(statics["n_delta_lights"]):
+                lidx = jnp.full((n,), i, jnp.int32)
+                ls = sample_delta_light(scene, lidx, hit.position)
+                srays = Rays(o=hit.position + hit.ng * 0.1, d=ls.wi)
+                vis = ~occluded(scene, srays, ls.t_max, tri_fn=tri_fn)
+                cos = jnp.maximum(0.0, dot(hit.ns, ls.wi))
+                wo_l = world_to_local(-d, hit.dpdu, hit.ns, hit.dpdv)
+                wi_l = world_to_local(ls.wi, hit.dpdu, hit.ns, hit.dpdv)
+                fr = eval_bsdf(scene, hit.obj, wo_l, wi_l)
+                pdf = jnp.where(ls.pdf == 0.0, 1.0, ls.pdf)
+                direct = direct + vis[:, None] * fr * ls.le * (cos / pdf)[:, None]
+            radiance = radiance + jnp.where(
+                is_lambert[:, None], throughput * direct, 0.0
+            )
+            # unknown/no material also terminates (reference default: break)
+            active = active & (mtype >= 1)
+
+            # Metals / Glass via the delta lobes of sample_bsdf
+            wo_l = world_to_local(-d, hit.dpdu, hit.ns, hit.dpdv)
+            u2 = uniform2(keys, site + _SITE_BSDF)
+            ul = uniform1(keys, site + _SITE_LOBE)
+            bs = sample_bsdf(scene, hit.obj, wo_l, u2, ul)
+            wi = local_to_world(bs.wi, hit.dpdu, hit.ns, hit.dpdv)
+            throughput = jnp.where(
+                active[:, None], throughput * bs.weight, throughput
+            )
+            incoming_sign = -jnp.sign(dot(d, hit.ng))
+            sign = jnp.where(bs.flip_side, -incoming_sign, incoming_sign)
+            o = jnp.where(
+                active[:, None],
+                hit.position + (sign * 0.001)[:, None] * hit.ng,
+                o,
+            )
+            d = jnp.where(active[:, None], wi, d)
+            return radiance, throughput, o, d, active
+
+        state = (
+            jnp.zeros((n, 3)),
+            jnp.ones((n, 3)),
+            rays.o,
+            rays.d,
+            jnp.ones((n,), bool),
+        )
+        radiance, throughput, o, d, active = lax.fori_loop(
+            0, max_depth + 1, bounce, state
+        )
+        # depth-overflow rays: sky (Src/integrator.h:317-320)
+        radiance = radiance + jnp.where(active[:, None], throughput * _SKY, 0.0)
+        return radiance
+
+    return integrate

@@ -1,0 +1,150 @@
+"""Volumetric path tracing, with and without NEE.
+
+TPU-native counterpart of ``VolumePathTracing`` / ``VolumePathTracingNEE``
+(reference: Src/integrator.h:401-478, 481-636). The reference's
+``while (depth < maxDepth)`` loop only advances ``depth`` on a real
+in-scatter event — boundary escapes re-intersect without incrementing — so
+the wavefront loop runs ``2 * max_depth + 2`` fixed iterations (enough for
+scatter/escape alternation through one medium box, the reference's scene
+shape) with a per-lane depth counter; lanes kill when their depth reaches
+``max_depth``, mirroring the loop condition.
+
+RNG site layout per iteration (within its SITES_PER_BOUNCE block):
+  0           Russian roulette
+  16..        sampleMedium tracking loop (max_steps * SITES_PER_STEP sites)
+  8192        NEE light pick
+  8193        NEE light-sample 2-uniform
+  8208..      NEE transmittance ratio-tracking loop
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..geometry import Rays, intersect_scene
+from ..lights import area_light_le, pick_uniform_light, sample_area_light
+from ..media import SITES_PER_STEP, eval_phase, sample_medium, segment_transmittance
+from ..sampling import SITES_PER_BOUNCE, uniform1, uniform2
+
+_SITE_RR = 0
+_SITE_MEDIUM = 16
+_SITE_NEE_PICK = 8192
+_SITE_NEE_LIGHT = 8193
+_SITE_NEE_TR = 8208
+
+
+def make_volume_integrator(
+    scene, statics, max_depth, nee=False, max_steps=256, tri_fn=None,
+    n_iterations=None,
+):
+    """Factory for both volume integrators (``nee`` selects the variant)."""
+    if n_iterations is None:
+        n_iterations = 2 * max_depth + 2
+    assert _SITE_MEDIUM + max_steps * SITES_PER_STEP <= _SITE_NEE_PICK
+    assert _SITE_NEE_TR + max_steps <= SITES_PER_BOUNCE
+    n_lights = statics["n_area_lights"]
+
+    def integrate(rays: Rays, keys):
+        n = rays.o.shape[0]
+
+        def iteration(it, state):
+            radiance, throughput, o, d, depth, active = state
+            site = it * SITES_PER_BOUNCE
+            cur = Rays(o=o, d=d)
+
+            # loop condition (Src/integrator.h:412,498)
+            active = active & (depth < max_depth)
+
+            hit = intersect_scene(scene, cur, tri_fn=tri_fn)
+            # miss -> black background (only depth != 0 in the reference,
+            # but background is 0: Src/integrator.h:425-428), kill
+            active = active & hit.hit
+
+            # Russian roulette for depth > 0 (Src/integrator.h:431-438)
+            rr_prob = jnp.minimum(jnp.mean(throughput, axis=-1), 1.0)
+            u_rr = uniform1(keys, site + _SITE_RR)
+            do_rr = active & (depth > 0)
+            killed = do_rr & (u_rr >= rr_prob)
+            active = active & ~killed
+            throughput = jnp.where(
+                (do_rr & active)[:, None],
+                throughput / jnp.maximum(rr_prob, 1e-12)[:, None],
+                throughput,
+            )
+
+            # emitter hit (Src/integrator.h:441-446; NEE variant adds Le only
+            # at depth 0, Src/integrator.h:517-526)
+            lrow = jnp.where(hit.obj >= 0, scene.obj_light[jnp.maximum(hit.obj, 0)], -1)
+            is_emitter = active & (lrow >= 0)
+            le = area_light_le(scene, lrow, -d, hit.ns)
+            add_le = is_emitter & (depth == 0) if nee else is_emitter
+            radiance = radiance + jnp.where(add_le[:, None], throughput * le, 0.0)
+            active = active & ~is_emitter
+
+            # medium sampling (Src/integrator.h:449-468)
+            med_idx = jnp.where(
+                hit.obj >= 0, scene.obj_medium[jnp.maximum(hit.obj, 0)], -1
+            )
+            has_med = active & (med_idx >= 0)
+            ms = sample_medium(
+                scene, jnp.where(has_med, med_idx, -1), cur, hit.t, hit.t1,
+                throughput, keys, site + _SITE_MEDIUM, max_steps=max_steps,
+                has_heterogeneous=statics["has_heterogeneous"],
+            )
+            scattered = has_med & ms.scattered
+
+            # NEE at the scatter vertex (Src/integrator.h:538-567)
+            if nee and n_lights > 0:
+                u_pick = uniform1(keys, site + _SITE_NEE_PICK)
+                lidx, pick_prob = pick_uniform_light(n_lights, u_pick)
+                u2 = uniform2(keys, site + _SITE_NEE_LIGHT)
+                ls = sample_area_light(scene, lidx, ms.pos, u2)
+                pdf = pick_prob * ls.pdf
+                ok = scattered & (pdf > 0.0)
+                # isVisible (Src/integrator.h:604-631): one intersect; a
+                # surface blocks, a medium multiplies ratio-tracked
+                # transmittance over its [t, t1] span, anything else passes.
+                srays = Rays(o=ms.pos, d=ls.wi)
+                shit = intersect_scene(scene, srays, tri_fn=tri_fn)
+                s_obj = jnp.maximum(shit.obj, 0)
+                s_has_surface = (shit.obj >= 0) & (scene.obj_mat[s_obj] >= 0)
+                s_med = jnp.where(shit.obj >= 0, scene.obj_medium[s_obj], -1)
+                t1_fin = jnp.where(jnp.isfinite(shit.t1), shit.t1, shit.t)
+                tr = segment_transmittance(
+                    scene,
+                    jnp.where(ok & (s_med >= 0), s_med, -1),
+                    srays.at(shit.t), srays.at(t1_fin),
+                    keys, site + _SITE_NEE_TR, max_steps=max_steps,
+                )
+                visible = ok & ~s_has_surface
+                f = eval_phase(scene, jnp.where(has_med, med_idx, 0), d, ls.wi)
+                safe_pdf = jnp.where(pdf == 0.0, 1.0, pdf)
+                ls_contrib = tr * f * ls.le / safe_pdf[:, None]
+                radiance = radiance + jnp.where(
+                    visible[:, None], throughput * ms.weight * ls_contrib, 0.0
+                )
+
+            # advance ray + throughput (Src/integrator.h:456-467)
+            o = jnp.where(has_med[:, None], ms.pos, o)
+            d = jnp.where(has_med[:, None], ms.dir, d)
+            throughput = jnp.where(
+                has_med[:, None], throughput * ms.weight, throughput
+            )
+            depth = depth + scattered.astype(jnp.int32)
+            # plain surface with no medium and no light: the reference would
+            # loop forever (Src/integrator.h:449 never advances); kill.
+            active = active & has_med
+            active = active & jnp.any(throughput > 0.0, axis=-1)
+            return radiance, throughput, o, d, depth, active
+
+        state = (
+            jnp.zeros((n, 3)),
+            jnp.ones((n, 3)),
+            rays.o,
+            rays.d,
+            jnp.zeros((n,), jnp.int32),
+            jnp.ones((n,), bool),
+        )
+        radiance, *_ = lax.fori_loop(0, n_iterations, iteration, state)
+        return radiance
+
+    return integrate

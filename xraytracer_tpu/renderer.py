@@ -1,0 +1,207 @@
+"""Execution layer: wavefront renderer, accumulation, sharding, checkpoints.
+
+TPU-native counterpart of the reference's ``NormalRenderer`` /
+``ParallelRenderer`` (reference: Src/renderer.cpp:8-99). The per-pixel
+double loop + spp loop becomes: one wavefront of all pixels, a
+``lax.fori_loop`` over spp inside a single jit (compiled once), and —
+the ``ParallelRenderer`` analogue — the pixel axis sharded over a device
+mesh with ``NamedSharding``; no collectives are needed because every lane
+owns its pixel (the same disjointness argument as the reference's
+``std::for_each(par_unseq)``, Src/renderer.cpp:90-93).
+
+Reference semantics preserved:
+  * jittered sub-pixel SSAA: uv = ((x + u), (y + v)) / (W, H)
+    (Src/renderer.cpp:42-47);
+  * per-sample NaN/Inf/negative radiance REJECTION with a running count
+    (Src/renderer.cpp:56-73) — rejected samples contribute 0 but still
+    divide by the full spp;
+  * per-pixel determinism: the RNG key is a pure function of
+    (seed, global pixel id, sample index), so renders are bitwise identical
+    across chunkings, device counts, and hosts (SURVEY.md §7).
+
+Checkpoint/resume (absent in the reference, SURVEY.md §5): spp is
+accumulated in chunks; the accumulator (sum buffer + rejected count +
+samples done) round-trips through an .npz file between chunks.
+"""
+
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry import Rays
+from .sampling import path_keys, uniform2
+
+# Dedicated RNG site for camera jitter, far above any per-bounce block
+# (bounce i uses sites [i * SITES_PER_BOUNCE, (i+1) * SITES_PER_BOUNCE)).
+CAMERA_SITE = 0x7FFF0000
+
+
+def pixel_grid(width, height):
+    """Global pixel ids (row-major, matching the reference's
+    ``j + width * i`` seeding, Src/renderer.cpp:36) and pixel (x, y)."""
+    ids = np.arange(width * height, dtype=np.int32)
+    x = (ids % width).astype(np.float32)
+    y = (ids // width).astype(np.float32)
+    return jnp.asarray(ids), jnp.asarray(np.stack([x, y], axis=-1))
+
+
+def make_sample_fn(scene, camera, integrate, width, height, seed):
+    """One-spp wavefront kernel: (pixel_ids, pixel_xy, sample_idx) ->
+    (radiance (N,3), n_rejected). Jit-compiled once, reused for every spp."""
+    wh = jnp.asarray([float(width), float(height)])
+
+    def sample_once(pixel_ids, pixel_xy, s):
+        keys = path_keys(seed, pixel_ids, s)
+        u = uniform2(keys, CAMERA_SITE)
+        uv = (pixel_xy + u) / wh
+        rays = camera.sample_rays(uv)
+        rad = integrate(rays, keys)
+        # rejection (Src/renderer.cpp:56-73): any nan/inf/negative channel
+        # voids the whole sample
+        bad = jnp.any(~jnp.isfinite(rad) | (rad < 0.0), axis=-1)
+        rad = jnp.where(bad[:, None], 0.0, rad)
+        return rad, jnp.sum(bad.astype(jnp.int32))
+
+    return sample_once
+
+
+def make_chunk_fn(sample_once, donate=True):
+    """spp-chunk accumulator: runs ``n`` consecutive samples inside one jit
+    via ``fori_loop`` (n is static per compilation)."""
+
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0, 1))
+    def run_chunk(acc, nrej, pixel_ids, pixel_xy, s0, n):
+        def body(i, carry):
+            a, r = carry
+            rad, bad = sample_once(pixel_ids, pixel_xy, s0 + i)
+            return a + rad, r + bad
+
+        return jax.lax.fori_loop(0, n, body, (acc, nrej))
+
+    return run_chunk
+
+
+@dataclass
+class RenderResult:
+    image: np.ndarray      # (H, W, 3) float32, averaged radiance
+    spp: int
+    n_rejected: int
+    seconds: float
+    samples_per_sec: float  # primary camera samples (pixels*spp) per second
+
+
+class Accumulator:
+    """Checkpointable spp accumulation state."""
+
+    def __init__(self, width, height, acc=None, n_rejected=0, spp_done=0):
+        self.width = width
+        self.height = height
+        self.acc = (
+            acc if acc is not None else jnp.zeros((width * height, 3), jnp.float32)
+        )
+        self.n_rejected = n_rejected
+        self.spp_done = spp_done
+
+    def save(self, path):
+        np.savez(
+            path,
+            acc=np.asarray(self.acc),
+            n_rejected=np.asarray(self.n_rejected),
+            spp_done=self.spp_done,
+            width=self.width,
+            height=self.height,
+        )
+
+    @staticmethod
+    def load(path):
+        z = np.load(path)
+        return Accumulator(
+            int(z["width"]), int(z["height"]),
+            acc=jnp.asarray(z["acc"]),
+            n_rejected=jnp.asarray(z["n_rejected"]),
+            spp_done=int(z["spp_done"]),
+        )
+
+    def image(self):
+        spp = max(self.spp_done, 1)
+        img = np.asarray(self.acc).reshape(self.height, self.width, 3) / spp
+        return img
+
+
+def render(
+    scene, camera, integrate, width, height, spp,
+    seed=0, spp_chunk=None, accumulator=None, checkpoint_path=None,
+    sharding=None,
+):
+    """Render ``spp`` samples (resuming from ``accumulator`` if given).
+
+    ``sharding``: optional ``jax.sharding.NamedSharding`` over the pixel
+    axis — the multi-chip ``ParallelRenderer``. All inputs along the pixel
+    axis are placed with it; the scene pytree is replicated by jit.
+    """
+    spp_chunk = spp_chunk or spp
+    acc_state = accumulator or Accumulator(width, height)
+    pixel_ids, pixel_xy = pixel_grid(width, height)
+    n_pix = width * height
+    acc = acc_state.acc
+    if sharding is not None:
+        # pad the pixel axis to a multiple of the device count (the pixel
+        # count rarely divides it); padding lanes render pixel 0 and are
+        # sliced off before averaging
+        n_dev = sharding.mesh.size
+        n_pad = (-n_pix) % n_dev
+        if n_pad:
+            pixel_ids = jnp.pad(pixel_ids, (0, n_pad))
+            pixel_xy = jnp.pad(pixel_xy, ((0, n_pad), (0, 0)))
+            acc = jnp.pad(acc, ((0, n_pad), (0, 0)))
+        pixel_ids = jax.device_put(pixel_ids, sharding)
+        pixel_xy = jax.device_put(pixel_xy, sharding)
+        acc = jax.device_put(acc, sharding)
+
+    sample_once = make_sample_fn(scene, camera, integrate, width, height, seed)
+    run_chunk = make_chunk_fn(sample_once)
+
+    nrej = jnp.asarray(acc_state.n_rejected, jnp.int32)
+    t0 = time.perf_counter()
+    s = acc_state.spp_done
+    while s < spp:
+        n = min(spp_chunk, spp - s)
+        acc, nrej = run_chunk(acc, nrej, pixel_ids, pixel_xy, s, n)
+        s += n
+        acc_state.acc = acc[:n_pix]
+        acc_state.n_rejected = nrej
+        acc_state.spp_done = s
+        if checkpoint_path is not None:
+            jax.block_until_ready(acc)
+            acc_state.save(checkpoint_path)
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+
+    img = np.asarray(acc[:n_pix]).reshape(height, width, 3) / spp
+    n_samples = width * height * max(spp - (accumulator.spp_done if accumulator else 0), 0)
+    return RenderResult(
+        image=img,
+        spp=spp,
+        n_rejected=int(nrej),
+        seconds=dt,
+        samples_per_sec=n_samples / max(dt, 1e-9),
+    )
+
+
+def pixel_sharding(mesh, axis="d"):
+    """NamedSharding that splits the pixel axis across ``mesh``'s ``axis``."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(axis))
+
+
+def default_mesh(axis="d"):
+    """1-D mesh over all local devices."""
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices())
+    return Mesh(devs, (axis,))
