@@ -33,10 +33,12 @@ def main():
         tables, statics, max_depth=3, nee=True, cosine_sampling=True
     )
 
-    # warmup (compile) at 1 spp
-    render(tables, camera, integrate, w, h, 1, seed=0)
-    # timed run
-    r = render(tables, camera, integrate, w, h, spp, seed=0)
+    # one compiled pipeline; warmup call pays compilation, timed call reuses
+    from xraytracer_tpu.renderer import WavefrontRenderer
+
+    renderer = WavefrontRenderer(tables, camera, integrate, w, h, seed=0)
+    renderer.render(2)
+    r = renderer.render(spp)
     rays_per_s = r.samples_per_sec  # primary camera rays per second
 
     print(

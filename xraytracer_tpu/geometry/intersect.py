@@ -147,6 +147,24 @@ def _ray_features(o, d):
     )
 
 
+def _ray_features_t(o, d):
+    """(10, N) ray features built directly in transposed layout (avoids a
+    ~18 MB (N, 10) -> (10, N) relayout per sweep on the Pallas path)."""
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    return jnp.stack(
+        [
+            oy * dz - oz * dy,
+            oz * dx - ox * dz,
+            ox * dy - oy * dx,
+            dx, dy, dz,
+            ox, oy, oz,
+            jnp.ones_like(ox),
+        ],
+        axis=0,
+    )
+
+
 # Triangle chunk per scan step of the matmul formulation.
 TRI_CHUNK_MM = 512
 
@@ -297,24 +315,55 @@ def _gather3(a, i):
     return a[jnp.maximum(i, 0)]
 
 
+def _table_nonempty(obj_ids):
+    """True when a primitive table has any real (non-sentinel) row. Resolved
+    STATICALLY at trace time when the scene is a closed-over constant
+    (always the case for the render/bench path) so empty tables compile to
+    nothing; conservatively True when the ids are traced."""
+    import numpy as np
+
+    try:
+        return bool(np.asarray(obj_ids).max() >= 0)
+    except Exception:  # traced (e.g. a donated pytree arg): keep the sweep
+        return True
+
+
+def _resolve_tri_fn(tri_fn, anyhit=False):
+    if tri_fn is not None:
+        return tri_fn
+    from .pallas_kernels import default_tri_fn
+
+    return default_tri_fn(anyhit=anyhit)
+
+
 def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
     """Nearest hit across all primitive tables, with full surface record.
 
     ``tri_fn`` lets the renderer swap the triangle sweep implementation;
-    the MXU matmul formulation is the default.
+    the default is platform-dependent: the fused Pallas kernel on TPU, the
+    XLA matmul formulation elsewhere.
     """
-    tri_fn = tri_fn or intersect_triangles_mm
+    tri_fn = _resolve_tri_fn(tri_fn)
     n = rays.o.shape[0]
 
     tt, ti, tu, tv = tri_fn(
         rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_obj >= 0
     )
-    st, si = intersect_spheres(
-        rays, scene.sph_center, scene.sph_radius, scene.sph_obj >= 0
-    )
-    b0, b1, bi = intersect_boxes(
-        rays, scene.box_min, scene.box_max, scene.box_obj >= 0
-    )
+    if _table_nonempty(scene.sph_obj):
+        st, si = intersect_spheres(
+            rays, scene.sph_center, scene.sph_radius, scene.sph_obj >= 0
+        )
+    else:
+        st = jnp.full((n,), INF)
+        si = jnp.full((n,), -1, jnp.int32)
+    if _table_nonempty(scene.box_obj):
+        b0, b1, bi = intersect_boxes(
+            rays, scene.box_min, scene.box_max, scene.box_obj >= 0
+        )
+    else:
+        b0 = jnp.full((n,), INF)
+        b1 = jnp.full((n,), INF)
+        bi = jnp.full((n,), -1, jnp.int32)
 
     # winner: 0 = triangle, 1 = sphere, 2 = box
     t_all = jnp.stack([tt, st, b0], axis=1)
@@ -322,26 +371,27 @@ def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
     t = jnp.min(t_all, axis=1)
     hit = t < INF
 
-    # triangle surface record (reference: Src/primitive.cpp:96-110)
+    # triangle surface record (reference: Src/primitive.cpp:96-110) —
+    # ONE gather of the packed (T, 24) record instead of nine table gathers
     tix = jnp.maximum(ti, 0)
-    tv0 = scene.tri_v0[tix]
-    te1 = scene.tri_e1[tix]
-    te2 = scene.tri_e2[tix]
+    rec = scene.tri_rec[tix]
+    te1 = rec[:, 18:21]
+    te2 = rec[:, 21:24]
     w = (1.0 - tu - tv)[:, None]
     tri_ng = normalize(cross(te1, te2))
     # deliberate fix vs. the reference: barycentric-interpolated normals are
     # re-normalized (Src/primitive.cpp:107 leaves them non-unit, which skews
     # the ONB for smooth meshes; all reference scenes use flat normals).
     tri_ns_raw = (
-        w * scene.tri_n0[tix]
-        + tu[:, None] * scene.tri_n1[tix]
-        + tv[:, None] * scene.tri_n2[tix]
+        w * rec[:, 0:3]
+        + tu[:, None] * rec[:, 3:6]
+        + tv[:, None] * rec[:, 6:9]
     )
     tri_ns = normalize(tri_ns_raw, eps=1e-20)
     tri_uv = (
-        w * scene.tri_uv0[tix]
-        + tu[:, None] * scene.tri_uv1[tix]
-        + tv[:, None] * scene.tri_uv2[tix]
+        w * rec[:, 9:11]
+        + tu[:, None] * rec[:, 11:13]
+        + tv[:, None] * rec[:, 13:15]
     )
     tri_obj = jnp.where(ti >= 0, scene.tri_obj[tix], -1)
 
@@ -406,13 +456,18 @@ def occluded(scene, rays: Rays, t_max, tri_fn=None):
     block. Medium boxes never block (deliberate fix, see module docstring).
     Returns (N,) bool.
     """
-    tri_fn = tri_fn or intersect_triangles_mm
+    tri_fn = _resolve_tri_fn(tri_fn, anyhit=True)
     tri_light = scene.obj_light[jnp.maximum(scene.tri_obj, 0)]
     tri_blocks = (scene.tri_obj >= 0) & (tri_light < 0)
     tt, ti, _, _ = tri_fn(rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, tri_blocks)
+    blocked = tt < t_max
 
-    sph_light = scene.obj_light[jnp.maximum(scene.sph_obj, 0)]
-    sph_blocks = (scene.sph_obj >= 0) & (sph_light < 0)
-    st, _ = intersect_spheres(rays, scene.sph_center, scene.sph_radius, sph_blocks)
+    if _table_nonempty(scene.sph_obj):
+        sph_light = scene.obj_light[jnp.maximum(scene.sph_obj, 0)]
+        sph_blocks = (scene.sph_obj >= 0) & (sph_light < 0)
+        st, _ = intersect_spheres(
+            rays, scene.sph_center, scene.sph_radius, sph_blocks
+        )
+        blocked = blocked | (st < t_max)
 
-    return (tt < t_max) | (st < t_max)
+    return blocked

@@ -1,0 +1,267 @@
+"""Fused Pallas TPU kernel for the triangle-intersection sweep.
+
+Why: the XLA path (``intersect_triangles_mm``) materializes the
+(N_rays, 4*T) product tensor in HBM and the ~15-op hit-test epilogue
+re-streams it each pass — ~19 ms for 456k rays x 128 triangles, pure
+memory-bound. This kernel keeps everything in VMEM: for each ray tile it
+runs the MXU feature matmul (see ``intersect._tri_features`` for the
+bilinear Möller-Trumbore formulation), the division-free hit test, and the
+running nearest-hit min over triangle chunks, writing only (t, idx) per
+ray. HBM traffic drops from ~GBs to ~16 bytes/ray.
+
+Replaces the C++ native tier of the reference (``Mesh::intersect`` /
+``rayTriangleIntersect``, reference: Src/primitive.cpp:83-168) per
+SURVEY.md §2.5 "Pallas kernels for ray-triangle intersection sweeps".
+
+Layout: rays are processed 4096 per grid step as eight 512-lane rows
+(TPU block constraints want (8k, 128m) tiles); triangle features are
+chunk-grouped (n_chunks, 4*TRI_CHUNK, 10) and live fully in VMEM.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import INF, K_EPS
+from .types import Rays
+
+RAY_LANES = 512         # rays per kernel row
+RAY_ROWS = 8            # rows per grid step
+RAY_TILE = RAY_LANES * RAY_ROWS  # 4096 rays per grid step
+TRI_CHUNK = 128         # triangles per in-kernel chunk
+
+_BIG = np.float32(3.0e38)
+
+
+_INF_KEY = np.int32(0x7F800000)  # float32 +inf bit pattern
+_IDX_MASK = np.int32(0x7F)       # low 7 bits carry the chunk-local triangle
+
+
+def _sweep_kernel(
+    f_ref, g_ref, t_ref, i_ref, u_ref, v_ref, *, n_chunks, tc, use_mxu=True,
+    anyhit=False,
+):
+    """One 4096-ray tile vs. all triangle chunks.
+
+    f_ref: (10, RAY_TILE) ray features; g_ref: (n_chunks, 4*tc, 10)
+    chunk-grouped triangle features (row sections [det | u | v | t]);
+    t_ref/i_ref/u_ref/v_ref: (RAY_ROWS, RAY_LANES) winner t / index / u / v.
+
+    Nearest-hit selection uses a packed int32 key: positive float32 order
+    as int bits, low 7 mantissa bits replaced by the chunk-local triangle
+    row. One int min replaces float min + argmin (the profile bottleneck);
+    the winner's exact f32 (t, u, v) are then extracted with key-match
+    masked reduces — entirely in VMEM, so no epilogue gathers back in HBM
+    (XLA lowers those to ~GB one-hot matmuls; they cost 3x the sweep).
+    ``anyhit`` skips the u/v extraction for shadow rays.
+    """
+    assert tc <= 128, "local index must fit the 7-bit key field"
+    for r in range(RAY_ROWS):
+        f = f_ref[:, r * RAY_LANES:(r + 1) * RAY_LANES]   # (10, 512)
+
+        def chunk(c, carry):
+            bk, bi, bt, bu, bv = carry                     # (1, 512) each
+            g = g_ref[c]                                   # (4*tc, 10)
+            if use_mxu:
+                prod = jax.lax.dot_general(
+                    g, f,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                          # (4*tc, 512)
+                det = prod[0:tc]
+                u_num = prod[tc:2 * tc]
+                v_num = prod[2 * tc:3 * tc]
+                t_num = prod[3 * tc:4 * tc]
+            else:
+                # per-section rank-1 accumulation keeps live temporaries at
+                # (tc, 512) — the full (4*tc, 512) version blows VMEM
+                def section(s):
+                    gs = g[s * tc:(s + 1) * tc]            # (tc, 10)
+                    acc = gs[:, 0:1] * f[0:1, :]
+                    for k in range(1, 10):
+                        acc = acc + gs[:, k:k + 1] * f[k:k + 1, :]
+                    return acc                              # (tc, 512)
+
+                det = section(0)
+                u_num = section(1)
+                v_num = section(2)
+                t_num = section(3)
+            sgn = jnp.sign(det)
+            absd = jnp.abs(det)
+            u_s = u_num * sgn
+            v_s = v_num * sgn
+            t_s = t_num * sgn
+            ok = (
+                (absd >= K_EPS)
+                & (u_s >= 0.0)
+                & (v_s >= 0.0)
+                & (u_s + v_s <= absd)
+                & (t_s > K_EPS * absd)
+            )
+            inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+            t = jnp.where(ok, t_num * inv_det, 1.0)
+            local = jax.lax.broadcasted_iota(jnp.int32, (tc, RAY_LANES), 0)
+            key = (
+                jax.lax.bitcast_convert_type(t, jnp.int32) & ~_IDX_MASK
+            ) | local
+            key = jnp.where(ok, key, _INF_KEY)
+            kmin = jnp.min(key, axis=0, keepdims=True)     # (1, 512)
+            better = kmin < bk
+            bi = jnp.where(better, c * tc + (kmin & _IDX_MASK), bi)
+            bk = jnp.minimum(bk, kmin)
+            if anyhit:
+                return bk, bi, bt, bu, bv
+            # winner extraction: the key-matching row's exact f32 values
+            win = key == kmin                              # one row per lane
+            neg = jnp.float32(-3.0e38)
+            t_w = jnp.max(jnp.where(win, t, neg), axis=0, keepdims=True)
+            u_w = jnp.max(
+                jnp.where(win, u_num * inv_det, neg), axis=0, keepdims=True
+            )
+            v_w = jnp.max(
+                jnp.where(win, v_num * inv_det, neg), axis=0, keepdims=True
+            )
+            bt = jnp.where(better, t_w, bt)
+            bu = jnp.where(better, u_w, bu)
+            bv = jnp.where(better, v_w, bv)
+            return bk, bi, bt, bu, bv
+
+        bk = jnp.full((1, RAY_LANES), _INF_KEY, jnp.int32)
+        bi = jnp.full((1, RAY_LANES), -1, jnp.int32)
+        zf = jnp.zeros((1, RAY_LANES), jnp.float32)
+        bk, bi, bt, bu, bv = lax.fori_loop(
+            0, n_chunks, chunk, (bk, bi, jnp.full_like(zf, _BIG), zf, zf)
+        )
+        if anyhit:
+            # decode the approximate t from the packed key (2^-16 relative
+            # quantization — far below the shadow-bias scale)
+            bt = jax.lax.bitcast_convert_type(bk & ~_IDX_MASK, jnp.float32)
+            bt = jnp.where(bk < _INF_KEY, bt, _BIG)
+        t_ref[r, :] = bt[0]
+        i_ref[r, :] = bi[0]
+        u_ref[r, :] = bu[0]
+        v_ref[r, :] = bv[0]
+
+
+def _build_g_chunks(v0, e1, e2, valid, tc):
+    """(n_chunks, 4*tc, 10) chunk-grouped triangle features; invalid rows get
+    all-zero coefficients (det = 0 -> never hit)."""
+    from .intersect import _tri_features
+
+    t_total = v0.shape[0]
+    g = _tri_features(v0, e1, e2).T.reshape(t_total, 4, 10)
+    g = g * valid[:, None, None].astype(jnp.float32)
+    n_chunks = t_total // tc
+    # (T, 4, 10) -> (n_chunks, tc, 4, 10) -> (n_chunks, 4, tc, 10)
+    g = g.reshape(n_chunks, tc, 4, 10).transpose(0, 2, 1, 3)
+    return g.reshape(n_chunks, 4 * tc, 10)
+
+
+def sweep_pallas(f, g_chunks, n_rays_padded, *, anyhit=False, interpret=False):
+    """Run the fused sweep. ``f``: (10, N_pad); returns (t, idx, u, v) each
+    (N_pad,)."""
+    n_chunks, four_tc, _ = g_chunks.shape
+    tc = four_tc // 4
+    n_tiles = n_rays_padded // RAY_TILE
+    kernel = partial(_sweep_kernel, n_chunks=n_chunks, tc=tc, anyhit=anyhit)
+    out_spec = pl.BlockSpec(
+        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = (n_tiles * RAY_ROWS, RAY_LANES)
+    t, idx, u, v = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (10, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                g_chunks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.int32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        ],
+        interpret=interpret,
+    )(f, g_chunks)
+    return t.reshape(-1), idx.reshape(-1), u.reshape(-1), v.reshape(-1)
+
+
+def _sweep(rays: Rays, v0, e1, e2, valid, interpret, anyhit):
+    """Shared front half: features + fused sweep -> (t, idx, u, v)."""
+    n = rays.o.shape[0]
+    center = jnp.mean(v0, axis=0)
+    g_chunks = _build_g_chunks(v0 - center, e1, e2, valid, TRI_CHUNK)
+
+    from .intersect import _ray_features_t
+
+    f = _ray_features_t(rays.o - center, rays.d)      # (10, N), no relayout
+    n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    if n_pad != n:
+        f = jnp.pad(f, ((0, 0), (0, n_pad - n)))
+    bt, bi, bu, bv = sweep_pallas(
+        f, g_chunks, n_pad, anyhit=anyhit, interpret=interpret
+    )
+    return bt[:n], bi[:n], bu[:n], bv[:n]
+
+
+def intersect_triangles_pallas(
+    rays: Rays, v0, e1, e2, valid, chunk=None, interpret=False
+):
+    """Drop-in ``tri_fn`` (same contract as ``intersect_triangles``) backed
+    by the fused kernel; the winner's exact f32 (t, u, v) come out of the
+    kernel itself (no HBM epilogue)."""
+    t_total = v0.shape[0]
+    if t_total == 0 or t_total % TRI_CHUNK:
+        from .intersect import intersect_triangles
+
+        return intersect_triangles(rays, v0, e1, e2, valid)
+    bt, bi, bu, bv = _sweep(rays, v0, e1, e2, valid, interpret, False)
+    hit = bi >= 0
+    return (
+        jnp.where(hit, bt, INF),
+        bi,
+        jnp.where(hit, bu, 0.0),
+        jnp.where(hit, bv, 0.0),
+    )
+
+
+def intersect_triangles_pallas_anyhit(
+    rays: Rays, v0, e1, e2, valid, chunk=None, interpret=False
+):
+    """Shadow-ray variant: skips winner u/v extraction and returns the
+    packed-key approximate t (2^-16 relative) with zero u/v. Occlusion
+    compares t against a biased t_max, so the quantization is far below the
+    bias scale."""
+    t_total = v0.shape[0]
+    if t_total == 0 or t_total % TRI_CHUNK:
+        from .intersect import intersect_triangles
+
+        return intersect_triangles(rays, v0, e1, e2, valid)
+    bt, bi, bu, bv = _sweep(rays, v0, e1, e2, valid, interpret, True)
+    return jnp.where(bi >= 0, bt, INF), bi, bu, bv
+
+
+def default_tri_fn(anyhit=False):
+    """Platform-appropriate triangle sweep: the fused Pallas kernel on TPU
+    (with a cheaper any-hit flavor for shadow rays), the XLA matmul
+    formulation elsewhere (CPU tests, autodiff)."""
+    try:
+        is_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        is_tpu = False
+    if is_tpu:
+        return intersect_triangles_pallas_anyhit if anyhit else intersect_triangles_pallas
+    from .intersect import intersect_triangles_mm
+
+    return intersect_triangles_mm

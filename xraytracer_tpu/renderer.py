@@ -70,17 +70,25 @@ def make_sample_fn(scene, camera, integrate, width, height, seed):
 
 
 def make_chunk_fn(sample_once, donate=True):
-    """spp-chunk accumulator: runs ``n`` consecutive samples inside one jit
-    via ``fori_loop`` (n is static per compilation)."""
+    """spp-chunk accumulator: one jitted single-spp accumulate step,
+    dispatched from a host loop with a donated accumulator.
 
-    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0, 1))
+    Deliberately NOT a device-side fori_loop over spp: the TPU toolchain
+    compiles a while-loop containing several Pallas calls extremely slowly
+    AND executes it ~3x slower per iteration than the same body dispatched
+    standalone (measured on the GI Cornell workload). Host dispatch is
+    asynchronous, so the ~ms enqueue overhead overlaps device work.
+    """
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(acc, nrej, pixel_ids, pixel_xy, s):
+        rad, bad = sample_once(pixel_ids, pixel_xy, s)
+        return acc + rad, nrej + bad
+
     def run_chunk(acc, nrej, pixel_ids, pixel_xy, s0, n):
-        def body(i, carry):
-            a, r = carry
-            rad, bad = sample_once(pixel_ids, pixel_xy, s0 + i)
-            return a + rad, r + bad
-
-        return jax.lax.fori_loop(0, n, body, (acc, nrej))
+        for i in range(n):
+            acc, nrej = step(acc, nrej, pixel_ids, pixel_xy, s0 + i)
+        return acc, nrej
 
     return run_chunk
 
@@ -132,63 +140,100 @@ class Accumulator:
         return img
 
 
+class WavefrontRenderer:
+    """Reusable compiled pipeline for one (scene, camera, integrator,
+    resolution, seed) configuration. Construct ONCE, call ``render`` many
+    times — each ``render()`` reuses the same jitted step, so only the
+    first call pays compilation (a fresh ``render(...)`` helper call
+    rebuilds closures and recompiles every time)."""
+
+    def __init__(
+        self, scene, camera, integrate, width, height, seed=0, sharding=None
+    ):
+        self.width = width
+        self.height = height
+        self.sharding = sharding
+        self.n_pix = width * height
+        pixel_ids, pixel_xy = pixel_grid(width, height)
+        self._pad = 0
+        if sharding is not None:
+            # pad the pixel axis to a multiple of the device count; padding
+            # lanes render pixel 0 and are sliced off before averaging
+            n_dev = sharding.mesh.size
+            self._pad = (-self.n_pix) % n_dev
+            if self._pad:
+                pixel_ids = jnp.pad(pixel_ids, (0, self._pad))
+                pixel_xy = jnp.pad(pixel_xy, ((0, self._pad), (0, 0)))
+            pixel_ids = jax.device_put(pixel_ids, sharding)
+            pixel_xy = jax.device_put(pixel_xy, sharding)
+        self.pixel_ids = pixel_ids
+        self.pixel_xy = pixel_xy
+        self.sample_once = make_sample_fn(
+            scene, camera, integrate, width, height, seed
+        )
+        self.run_chunk = make_chunk_fn(self.sample_once)
+
+    def render(
+        self, spp, spp_chunk=None, accumulator=None, checkpoint_path=None
+    ):
+        spp_chunk = spp_chunk or spp
+        acc_state = accumulator or Accumulator(self.width, self.height)
+        acc = acc_state.acc
+        if self._pad:
+            acc = jnp.pad(acc, ((0, self._pad), (0, 0)))
+        if self.sharding is not None:
+            acc = jax.device_put(acc, self.sharding)
+        nrej = jnp.asarray(acc_state.n_rejected, jnp.int32)
+        spp_resumed = acc_state.spp_done
+        t0 = time.perf_counter()
+        s = acc_state.spp_done
+        while s < spp:
+            n = min(spp_chunk, spp - s)
+            acc, nrej = self.run_chunk(
+                acc, nrej, self.pixel_ids, self.pixel_xy, s, n
+            )
+            s += n
+            acc_state.acc = acc[:self.n_pix]
+            acc_state.n_rejected = nrej
+            acc_state.spp_done = s
+            if checkpoint_path is not None:
+                jax.block_until_ready(acc)
+                acc_state.save(checkpoint_path)
+        jax.block_until_ready(acc)
+        dt = time.perf_counter() - t0
+
+        img = (
+            np.asarray(acc[:self.n_pix]).reshape(self.height, self.width, 3)
+            / spp
+        )
+        n_samples = self.n_pix * max(spp - spp_resumed, 0)
+        return RenderResult(
+            image=img,
+            spp=spp,
+            n_rejected=int(nrej),
+            seconds=dt,
+            samples_per_sec=n_samples / max(dt, 1e-9),
+        )
+
+
 def render(
     scene, camera, integrate, width, height, spp,
     seed=0, spp_chunk=None, accumulator=None, checkpoint_path=None,
     sharding=None,
 ):
-    """Render ``spp`` samples (resuming from ``accumulator`` if given).
+    """One-shot convenience wrapper around ``WavefrontRenderer`` (compiles
+    per call — hold a ``WavefrontRenderer`` to amortize compilation).
 
     ``sharding``: optional ``jax.sharding.NamedSharding`` over the pixel
     axis — the multi-chip ``ParallelRenderer``. All inputs along the pixel
     axis are placed with it; the scene pytree is replicated by jit.
     """
-    spp_chunk = spp_chunk or spp
-    acc_state = accumulator or Accumulator(width, height)
-    pixel_ids, pixel_xy = pixel_grid(width, height)
-    n_pix = width * height
-    acc = acc_state.acc
-    if sharding is not None:
-        # pad the pixel axis to a multiple of the device count (the pixel
-        # count rarely divides it); padding lanes render pixel 0 and are
-        # sliced off before averaging
-        n_dev = sharding.mesh.size
-        n_pad = (-n_pix) % n_dev
-        if n_pad:
-            pixel_ids = jnp.pad(pixel_ids, (0, n_pad))
-            pixel_xy = jnp.pad(pixel_xy, ((0, n_pad), (0, 0)))
-            acc = jnp.pad(acc, ((0, n_pad), (0, 0)))
-        pixel_ids = jax.device_put(pixel_ids, sharding)
-        pixel_xy = jax.device_put(pixel_xy, sharding)
-        acc = jax.device_put(acc, sharding)
-
-    sample_once = make_sample_fn(scene, camera, integrate, width, height, seed)
-    run_chunk = make_chunk_fn(sample_once)
-
-    nrej = jnp.asarray(acc_state.n_rejected, jnp.int32)
-    t0 = time.perf_counter()
-    s = acc_state.spp_done
-    while s < spp:
-        n = min(spp_chunk, spp - s)
-        acc, nrej = run_chunk(acc, nrej, pixel_ids, pixel_xy, s, n)
-        s += n
-        acc_state.acc = acc[:n_pix]
-        acc_state.n_rejected = nrej
-        acc_state.spp_done = s
-        if checkpoint_path is not None:
-            jax.block_until_ready(acc)
-            acc_state.save(checkpoint_path)
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
-
-    img = np.asarray(acc[:n_pix]).reshape(height, width, 3) / spp
-    n_samples = width * height * max(spp - (accumulator.spp_done if accumulator else 0), 0)
-    return RenderResult(
-        image=img,
-        spp=spp,
-        n_rejected=int(nrej),
-        seconds=dt,
-        samples_per_sec=n_samples / max(dt, 1e-9),
+    r = WavefrontRenderer(
+        scene, camera, integrate, width, height, seed=seed, sharding=sharding
+    )
+    return r.render(
+        spp, spp_chunk=spp_chunk, accumulator=accumulator,
+        checkpoint_path=checkpoint_path,
     )
 
 

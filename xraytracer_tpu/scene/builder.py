@@ -348,13 +348,26 @@ class SceneBuilder:
         def arr(x, dtype=f32):
             return jnp.asarray(np.asarray(x, dtype))
 
+        tri_n0 = col(tris, 3)
+        tri_n1 = col(tris, 4)
+        tri_n2 = col(tris, 5)
+        tri_uv0 = col(tris, 6)
+        tri_uv1 = col(tris, 7)
+        tri_uv2 = col(tris, 8)
+        tri_rec = np.concatenate(
+            [tri_n0, tri_n1, tri_n2, tri_uv0, tri_uv1, tri_uv2,
+             tri_v0, tri_e1, tri_e2],
+            axis=1,
+        )
+
         return SceneTables(
             tri_v0=arr(tri_v0), tri_e1=arr(tri_e1), tri_e2=arr(tri_e2),
-            tri_n0=arr(col(tris, 3)), tri_n1=arr(col(tris, 4)),
-            tri_n2=arr(col(tris, 5)),
-            tri_uv0=arr(col(tris, 6)), tri_uv1=arr(col(tris, 7)),
-            tri_uv2=arr(col(tris, 8)),
+            tri_n0=arr(tri_n0), tri_n1=arr(tri_n1),
+            tri_n2=arr(tri_n2),
+            tri_uv0=arr(tri_uv0), tri_uv1=arr(tri_uv1),
+            tri_uv2=arr(tri_uv2),
             tri_obj=arr([r[9] for r in tris], np.int32),
+            tri_rec=arr(tri_rec),
             sph_center=arr([r[0] for r in sphs]),
             sph_radius=arr([r[1] for r in sphs]),
             sph_obj=arr([r[2] for r in sphs], np.int32),

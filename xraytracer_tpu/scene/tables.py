@@ -54,6 +54,10 @@ class SceneTables(NamedTuple):
     tri_uv1: jnp.ndarray  # (T, 2)
     tri_uv2: jnp.ndarray  # (T, 2)
     tri_obj: jnp.ndarray  # (T,) int32
+    # packed per-triangle record [n0 n1 n2 | uv0 uv1 uv2 | v0 e1 e2] so the
+    # hot surface-record path does ONE gather instead of nine (TPU gathers
+    # are expensive; see geometry/intersect.py)
+    tri_rec: jnp.ndarray  # (T, 24)
 
     # analytic spheres
     sph_center: jnp.ndarray  # (S, 3)
