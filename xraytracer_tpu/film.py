@@ -59,10 +59,18 @@ def write_png(path, img_u8):
 
 
 def write_image(path, img, gamma=2.2):
-    """Gamma-correct float HDR (H,W,3) -> 8-bit file by extension."""
+    """Gamma-correct float HDR (H,W,3) -> 8-bit file by extension.
+
+    Encoding uses the native C++ tier when available (ascii-P3 PPM parity
+    with the reference is kept on the Python path; the native PPM is binary
+    P6)."""
+    from . import native
+
     u8 = to_u8(gamma_correct(jnp.asarray(img), gamma))
     if str(path).endswith(".ppm"):
-        write_ppm(path, u8)
+        if not native.write_ppm(path, u8):
+            write_ppm(path, u8)
     else:
-        write_png(path, u8)
+        if not native.write_png(path, u8):
+            write_png(path, u8)
     return u8

@@ -67,38 +67,37 @@ def gather_medium(scene, med_idx):
 def density_lookup(scene, p):
     """World-space trilinear density (reference: Src/grid.h:71-77, the
     OpenVDB ``BoxSampler`` world lookup; outside the bounds the VDB
-    background value 0 applies). ``p``: (N, 3) -> (N,) density."""
+    background value 0 applies). ``p``: (N, 3) -> (N,) density.
+
+    Hot-path formulation: ONE row gather from the corner-packed
+    (Nx*Ny*Nz, 8) table followed by a weight dot — TPU gathers serialize
+    per element, so 8 separate corner gathers cost ~4x more inside
+    tracking loops."""
     g = scene.grid_density
+    nx, ny, nz = g.shape
     res = jnp.asarray(g.shape, jnp.float32)
     ext = scene.grid_max - scene.grid_min
     # voxel centers span the bounds: continuous index in [0, res-1]
     x = (p - scene.grid_min[None, :]) / ext[None, :] * (res[None, :] - 1.0)
-    inside = jnp.all((p >= scene.grid_min[None, :]) & (p <= scene.grid_max[None, :]), axis=-1)
+    inside = jnp.all(
+        (p >= scene.grid_min[None, :]) & (p <= scene.grid_max[None, :]), axis=-1
+    )
     x = jnp.clip(x, 0.0, res[None, :] - 1.0)
     x0 = jnp.floor(x)
     f = x - x0
     i0 = x0.astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, jnp.asarray(g.shape, jnp.int32)[None, :] - 1)
-
-    def at(ix, iy, iz):
-        return g[ix, iy, iz]
-
-    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
-    c000 = at(i0[:, 0], i0[:, 1], i0[:, 2])
-    c100 = at(i1[:, 0], i0[:, 1], i0[:, 2])
-    c010 = at(i0[:, 0], i1[:, 1], i0[:, 2])
-    c110 = at(i1[:, 0], i1[:, 1], i0[:, 2])
-    c001 = at(i0[:, 0], i0[:, 1], i1[:, 2])
-    c101 = at(i1[:, 0], i0[:, 1], i1[:, 2])
-    c011 = at(i0[:, 0], i1[:, 1], i1[:, 2])
-    c111 = at(i1[:, 0], i1[:, 1], i1[:, 2])
-    c00 = c000 * (1 - fx) + c100 * fx
-    c10 = c010 * (1 - fx) + c110 * fx
-    c01 = c001 * (1 - fx) + c101 * fx
-    c11 = c011 * (1 - fx) + c111 * fx
-    c0 = c00 * (1 - fy) + c10 * fy
-    c1 = c01 * (1 - fy) + c11 * fy
-    return jnp.where(inside, c0 * (1 - fz) + c1 * fz, 0.0)
+    flat = (i0[:, 0] * ny + i0[:, 1]) * nz + i0[:, 2]
+    corners = scene.grid_packed[flat]                    # (N, 8)
+    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
+    wx = jnp.concatenate([1.0 - fx, fx], axis=1)         # (N, 2)
+    wy = jnp.concatenate([1.0 - fy, fy], axis=1)
+    wz = jnp.concatenate([1.0 - fz, fz], axis=1)
+    # weight for corner d = wx[dx] * wy[dy] * wz[dz], d = dx*4 + dy*2 + dz
+    w = (
+        wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    ).reshape(-1, 8)
+    val = jnp.sum(corners * w, axis=-1)
+    return jnp.where(inside, val, 0.0)
 
 
 def _free_flight(u, sigma):
@@ -185,12 +184,11 @@ def _sample_heterogeneous(
     sigma_a0 = med["sigma_a"] * (density_lookup(scene, rays.at(t0)) * dm)[:, None]
 
     def body(state):
-        (step, active, t, w_track, sigma_a, _pos, _dir, scattered) = state
+        (step, active, t, w_track, sigma_a, _pos, scat_step, scattered) = state
         s_base = site + step * SITES_PER_STEP
         u_wl = uniform1(keys, s_base + 0)
         u_dist = uniform1(keys, s_base + 1)
         u_ev = uniform1(keys, s_base + 2)
-        u_ph = uniform2(keys, s_base + 3)
 
         alb = (majorant[:, None] - sigma_a) * inv_maj[:, None]
         channel, pmf = sample_channel(path_throughput * w_track * alb, u_wl)
@@ -224,14 +222,14 @@ def _sample_heterogeneous(
         pdf_nl = jnp.sum(pmf * majorant[:, None] * tr_s * p_n, axis=-1, keepdims=True)
         w_null = w_track * tr_s * sig_n / jnp.where(pdf_nl == 0.0, 1.0, pdf_nl)
 
-        new_dir, _ = hg_sample_direction(rays.d, u_ph[:, 0], u_ph[:, 1], med["g"])
-
         done = active & (esc | scat)
         pos_out = jnp.where(
             (active & esc)[:, None], rays.at(t1 + RAY_EPS), _pos
         )
         pos_out = jnp.where((active & scat)[:, None], rays.at(t_new), pos_out)
-        dir_out = jnp.where((active & scat)[:, None], new_dir, _dir)
+        # the phase-direction draw is hoisted out of the loop: record the
+        # scatter step so the site can be replayed afterwards
+        scat_step = jnp.where(active & scat, step, scat_step)
         w_out = jnp.where((active & esc)[:, None], w_esc, w_track)
         w_out = jnp.where((active & scat)[:, None], w_scat, w_out)
         w_track_new = jnp.where((active & ~esc & ~scat)[:, None], w_null, w_out)
@@ -239,7 +237,8 @@ def _sample_heterogeneous(
         active = active & ~done
         t = jnp.where(active, t_new, t)
         return (
-            step + 1, active, t, w_track_new, sig_a, pos_out, dir_out, scattered
+            step + 1, active, t, w_track_new, sig_a, pos_out, scat_step,
+            scattered,
         )
 
     def cond(state):
@@ -253,12 +252,16 @@ def _sample_heterogeneous(
         jnp.ones((n, 3)),
         sigma_a0,
         rays.at(t1 + RAY_EPS),  # default: pass through (overwritten when done)
-        rays.d,
+        jnp.zeros((n,), jnp.int32),
         jnp.zeros((n,), bool),
     )
-    step, active, _t, w_track, _sa, pos, d, scattered = lax.while_loop(
+    step, active, _t, w_track, _sa, pos, scat_step, scattered = lax.while_loop(
         cond, body, init
     )
+    # phase direction, drawn once at the recorded scatter step's site
+    u_ph = uniform2(keys, site + scat_step * SITES_PER_STEP + 3)
+    new_dir, _ = hg_sample_direction(rays.d, u_ph[:, 0], u_ph[:, 1], med["g"])
+    d = jnp.where(scattered[:, None], new_dir, rays.d)
     # exhausted lanes: kill with weight 0 (bounded-loop policy)
     weight = jnp.where(active[:, None], 0.0, w_track)
     # NaN guard (Src/medium.cpp:83-91,113-121)

@@ -344,6 +344,18 @@ class SceneBuilder:
         grid = self._grid or (
             np.zeros((1, 1, 1), f32), np.zeros(3, f32), np.ones(3, f32)
         )
+        # corner-packed grid: row (i,j,k) = 8 corners [i+dx, j+dy, k+dz] with
+        # edge clamping; bit layout d = dx*4 + dy*2 + dz
+        gd = grid[0]
+        packed = np.empty(gd.shape + (8,), f32)
+        for d in range(8):
+            dx, dy, dz = (d >> 2) & 1, (d >> 1) & 1, d & 1
+            sl = gd[
+                np.minimum(np.arange(gd.shape[0]) + dx, gd.shape[0] - 1)
+            ][:, np.minimum(np.arange(gd.shape[1]) + dy, gd.shape[1] - 1)
+            ][:, :, np.minimum(np.arange(gd.shape[2]) + dz, gd.shape[2] - 1)]
+            packed[..., d] = sl
+        packed = packed.reshape(-1, 8)
 
         def arr(x, dtype=f32):
             return jnp.asarray(np.asarray(x, dtype))
@@ -402,6 +414,7 @@ class SceneBuilder:
             grid_density=arr(grid[0]),
             grid_min=arr(grid[1]),
             grid_max=arr(grid[2]),
+            grid_packed=arr(packed),
         )
 
 

@@ -54,13 +54,22 @@ def _resolve(idx, n):
     return idx - 1 if idx > 0 else n + idx
 
 
-def parse_obj(path):
+def parse_obj(path, use_native=True):
     """Parse an OBJ file into shapes.
 
     Returns (shapes, materials): shapes is a list of dicts with keys
     ``name``, ``material`` (name or None), ``vertices`` (T,3,3),
     ``normals`` (T,3,3) or None, ``uvs`` (T,3,2) or None.
+
+    Uses the native C++ parser (xraytracer_tpu/native.py) when available;
+    this Python implementation is the semantics-defining fallback.
     """
+    if use_native:
+        from .. import native
+
+        out = native.parse_obj(path) if os.path.exists(path) else None
+        if out is not None:
+            return out
     vs, vns, vts = [], [], []
     materials = {}
     shapes = []

@@ -108,6 +108,10 @@ class SceneTables(NamedTuple):
     grid_density: jnp.ndarray  # (Nx, Ny, Nz)
     grid_min: jnp.ndarray      # (3,)
     grid_max: jnp.ndarray      # (3,)
+    # corner-packed grid for the tracking hot loop: row c of (Nx*Ny*Nz, 8)
+    # holds the 8 cell corners (edge-clamped), so a trilinear lookup is ONE
+    # row gather instead of eight scalar gathers (TPU gathers serialize)
+    grid_packed: jnp.ndarray   # (Nx*Ny*Nz, 8)
 
     @property
     def n_area_lights(self):
