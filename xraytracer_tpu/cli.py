@@ -17,6 +17,7 @@ from .config import PRESETS, get_preset
 from .film import write_image
 from .integrators import (
     make_direct_integrator,
+    make_furnace_integrator,
     make_normal_integrator,
     make_path_integrator,
     make_volume_integrator,
@@ -27,7 +28,7 @@ from .scene.builder import scene_statics
 from .scene import presets as scene_presets
 
 
-def build_scene(cfg):
+def build_scene(cfg, density_grid=None):
     """Preset name (or --obj path) -> (tables, camera_kwargs)."""
     if cfg.obj:
         from .scene.builder import SceneBuilder
@@ -37,6 +38,27 @@ def build_scene(cfg):
         b = SceneBuilder()
         load_obj_into(b, cfg.obj)
         return b.build(), cornell_camera()
+    if density_grid and cfg.preset in ("volume", "nee"):
+        # replace the procedural stand-in cloud with a converted grid
+        # (reference analogue: the NanoVDBConvert offline tool feeding
+        # examples/volume.cpp; here: tools/grid_convert.py -> .npy)
+        import numpy as np
+
+        density = np.load(density_grid).astype("float32")
+        from .scene.presets import build_volume_scene
+
+        kwargs = (
+            dict(absorption=(0.01,) * 3, scattering=(0.05,) * 3, le=30.0,
+                 light_center=(0.0, 400.0, 0.0))
+            if cfg.preset == "nee" else {}
+        )
+        tables = build_volume_scene(density=density, **kwargs).build()
+        from .math import from_rows
+
+        c2w = from_rows(
+            1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 70.0, 550.0, 1
+        )
+        return tables, dict(c2w=c2w, fov_deg=60.0)
     fn = getattr(scene_presets, f"preset_{cfg.preset}")
     tables, cam_kwargs, _ = fn()
     return tables, cam_kwargs
@@ -45,6 +67,10 @@ def build_scene(cfg):
 def make_integrator(cfg, tables, statics):
     if cfg.integrator == "normal":
         return make_normal_integrator(tables)
+    if cfg.integrator == "furnace":
+        return make_furnace_integrator(
+            tables, cosine_sampling=cfg.cosine_sampling
+        )
     if cfg.integrator == "direct":
         return make_direct_integrator(tables, statics)
     if cfg.integrator == "indirect":
@@ -94,6 +120,10 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint if it exists")
     p.add_argument("--obj", default=None, help="render an .obj scene file")
+    p.add_argument("--density-grid", default=None, dest="density_grid",
+                   help=".npy dense density grid for the volume/nee presets")
+    p.add_argument("--profile", default=None,
+                   help="directory for a jax.profiler trace of the render")
     p.add_argument("-o", "--output", default=None)
     args = p.parse_args(argv)
 
@@ -106,7 +136,7 @@ def main(argv=None):
         checkpoint=args.checkpoint, obj=args.obj, output=args.output,
     )
 
-    tables, cam_kwargs = build_scene(cfg)
+    tables, cam_kwargs = build_scene(cfg, density_grid=args.density_grid)
     statics = scene_statics(tables)
     camera = PinholeCamera.make(cfg.width / cfg.height, **cam_kwargs)
     integrate = make_integrator(cfg, tables, statics)
@@ -128,12 +158,22 @@ def main(argv=None):
         f"{cfg.width}x{cfg.height} spp={cfg.spp} depth={cfg.max_depth}"
     )
     t0 = time.perf_counter()
-    result = render(
-        tables, camera, integrate, cfg.width, cfg.height, cfg.spp,
-        seed=cfg.seed, spp_chunk=cfg.spp_chunk or None,
-        accumulator=accumulator, checkpoint_path=cfg.checkpoint,
-        sharding=sharding,
-    )
+    if args.profile:
+        import contextlib
+        import jax
+
+        trace_cm = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        result = render(
+            tables, camera, integrate, cfg.width, cfg.height, cfg.spp,
+            seed=cfg.seed, spp_chunk=cfg.spp_chunk or None,
+            accumulator=accumulator, checkpoint_path=cfg.checkpoint,
+            sharding=sharding,
+        )
     print(
         f"[render] done in {result.seconds:.2f}s "
         f"({result.samples_per_sec/1e6:.2f} Msamples/s, "

@@ -204,12 +204,15 @@ def procedural_cloud(res=(64, 64, 64), seed=0):
 
 def build_volume_scene(res=(64, 64, 64), absorption=(0.5, 0.5, 0.5),
                        scattering=(0.5, 0.5, 0.5), le=10.0,
-                       light_center=(0.0, 380.0, 0.0), light_radius=50.0):
+                       light_center=(0.0, 380.0, 0.0), light_radius=50.0,
+                       density=None):
     """Heterogeneous cloud + sphere light (reference: Src/examples/volume.cpp:
-    43-58), with the procedural cloud in place of the VDB asset. The grid is
-    scaled to the wdas-quarter-cloud's approximate world extent."""
+    43-58), with the procedural cloud in place of the VDB asset (pass
+    ``density`` — e.g. np.load of a converted grid — to use real data). The
+    grid is scaled to the wdas-quarter-cloud's approximate world extent."""
     b = SceneBuilder()
-    density = procedural_cloud(res)
+    if density is None:
+        density = procedural_cloud(res)
     bmin = np.array([-165.0, -110.0, -160.0], np.float32)
     bmax = np.array([165.0, 110.0, 160.0], np.float32)
     b.set_density_grid(density, bmin, bmax)
