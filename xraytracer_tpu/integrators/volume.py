@@ -34,9 +34,16 @@ _SITE_NEE_TR = 8208
 
 def make_volume_integrator(
     scene, statics, max_depth, nee=False, max_steps=256, tri_fn=None,
-    n_iterations=None,
+    n_iterations=None, differentiable=False,
 ):
-    """Factory for both volume integrators (``nee`` selects the variant)."""
+    """Factory for both volume integrators (``nee`` selects the variant).
+
+    ``differentiable``: use fixed-trip ``fori_loop`` tracking loops so the
+    whole integrator is reverse-mode differentiable (gradients w.r.t.
+    sigma_a/sigma_s/Le/grid_density; the discrete tracking decisions are
+    naturally detached through their boolean masks). Costs the early-exit
+    optimization, so keep ``max_steps`` tight.
+    """
     if n_iterations is None:
         n_iterations = 2 * max_depth + 2
     assert _SITE_MEDIUM + max_steps * SITES_PER_STEP <= _SITE_NEE_PICK
@@ -89,6 +96,7 @@ def make_volume_integrator(
                 scene, jnp.where(has_med, med_idx, -1), cur, hit.t, hit.t1,
                 throughput, keys, site + _SITE_MEDIUM, max_steps=max_steps,
                 has_heterogeneous=statics["has_heterogeneous"],
+                differentiable=differentiable,
             )
             scattered = has_med & ms.scattered
 
@@ -114,6 +122,7 @@ def make_volume_integrator(
                     jnp.where(ok & (s_med >= 0), s_med, -1),
                     srays.at(shit.t), srays.at(t1_fin),
                     keys, site + _SITE_NEE_TR, max_steps=max_steps,
+                    differentiable=differentiable,
                 )
                 visible = ok & ~s_has_surface
                 f = eval_phase(scene, jnp.where(has_med, med_idx, 0), d, ls.wi)

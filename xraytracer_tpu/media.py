@@ -64,17 +64,8 @@ def gather_medium(scene, med_idx):
     )
 
 
-def density_lookup(scene, p):
-    """World-space trilinear density (reference: Src/grid.h:71-77, the
-    OpenVDB ``BoxSampler`` world lookup; outside the bounds the VDB
-    background value 0 applies). ``p``: (N, 3) -> (N,) density.
-
-    Hot-path formulation: ONE row gather from the corner-packed
-    (Nx*Ny*Nz, 8) table followed by a weight dot — TPU gathers serialize
-    per element, so 8 separate corner gathers cost ~4x more inside
-    tracking loops."""
+def _grid_coords(scene, p):
     g = scene.grid_density
-    nx, ny, nz = g.shape
     res = jnp.asarray(g.shape, jnp.float32)
     ext = scene.grid_max - scene.grid_min
     # voxel centers span the bounds: continuous index in [0, res-1]
@@ -84,10 +75,23 @@ def density_lookup(scene, p):
     )
     x = jnp.clip(x, 0.0, res[None, :] - 1.0)
     x0 = jnp.floor(x)
-    f = x - x0
-    i0 = x0.astype(jnp.int32)
-    flat = (i0[:, 0] * ny + i0[:, 1]) * nz + i0[:, 2]
-    corners = scene.grid_packed[flat]                    # (N, 8)
+    return x0.astype(jnp.int32), x - x0, inside
+
+
+def density_lookup(scene, p, use_packed=True):
+    """World-space trilinear density (reference: Src/grid.h:71-77, the
+    OpenVDB ``BoxSampler`` world lookup; outside the bounds the VDB
+    background value 0 applies). ``p``: (N, 3) -> (N,) density.
+
+    Hot-path formulation (``use_packed``): ONE row gather from the
+    corner-packed (Nx*Ny*Nz, 8) table followed by a weight dot — TPU
+    gathers serialize per element, so 8 separate corner gathers cost ~4x
+    more inside tracking loops. The unpacked path gathers from
+    ``grid_density`` directly so gradients flow to the real grid parameter
+    (the packed table is a derived buffer)."""
+    g = scene.grid_density
+    nx, ny, nz = g.shape
+    i0, f, inside = _grid_coords(scene, p)
     fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
     wx = jnp.concatenate([1.0 - fx, fx], axis=1)         # (N, 2)
     wy = jnp.concatenate([1.0 - fy, fy], axis=1)
@@ -96,6 +100,19 @@ def density_lookup(scene, p):
     w = (
         wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
     ).reshape(-1, 8)
+    if use_packed:
+        flat = (i0[:, 0] * ny + i0[:, 1]) * nz + i0[:, 2]
+        corners = scene.grid_packed[flat]                # (N, 8)
+    else:
+        lim = jnp.asarray(g.shape, jnp.int32)[None, :] - 1
+        i1 = jnp.minimum(i0 + 1, lim)
+        cs = []
+        for d in range(8):
+            ix = i1[:, 0] if (d >> 2) & 1 else i0[:, 0]
+            iy = i1[:, 1] if (d >> 1) & 1 else i0[:, 1]
+            iz = i1[:, 2] if d & 1 else i0[:, 2]
+            cs.append(g[ix, iy, iz])
+        corners = jnp.stack(cs, axis=-1)
     val = jnp.sum(corners * w, axis=-1)
     return jnp.where(inside, val, 0.0)
 
@@ -164,7 +181,8 @@ def _sample_homogeneous(med, rays, t0, t1, path_throughput, keys, site):
 
 
 def _sample_heterogeneous(
-    scene, med, rays, t0, t1, path_throughput, keys, site, max_steps
+    scene, med, rays, t0, t1, path_throughput, keys, site, max_steps,
+    differentiable=False,
 ):
     """Weighted delta tracking with spectral MIS (reference:
     Src/medium.cpp:45-133), as a bounded masked ``while_loop``.
@@ -181,7 +199,9 @@ def _sample_heterogeneous(
 
     # initial sigma_a at the entry point, for the first channel pick
     # (Src/medium.cpp:52-54)
-    sigma_a0 = med["sigma_a"] * (density_lookup(scene, rays.at(t0)) * dm)[:, None]
+    sigma_a0 = med["sigma_a"] * (
+        density_lookup(scene, rays.at(t0), use_packed=not differentiable) * dm
+    )[:, None]
 
     def body(state):
         (step, active, t, w_track, sigma_a, _pos, scat_step, scattered) = state
@@ -204,7 +224,9 @@ def _sample_heterogeneous(
         pdf_esc = jnp.sum(pmf * tr_esc, axis=-1, keepdims=True)
         w_esc = w_track * tr_esc / jnp.where(pdf_esc == 0.0, 1.0, pdf_esc)
 
-        dens = density_lookup(scene, rays.at(t_new)) * dm
+        dens = density_lookup(
+            scene, rays.at(t_new), use_packed=not differentiable
+        ) * dm
         sig_s = med["sigma_s"] * dens[:, None]
         sig_a = med["sigma_a"] * dens[:, None]
         sig_n = majorant[:, None] - sig_a - sig_s
@@ -255,9 +277,16 @@ def _sample_heterogeneous(
         jnp.zeros((n,), jnp.int32),
         jnp.zeros((n,), bool),
     )
-    step, active, _t, w_track, _sa, pos, scat_step, scattered = lax.while_loop(
-        cond, body, init
-    )
+    if differentiable:
+        # fixed-trip fori (reverse-mode differentiable; while_loop is not):
+        # masked lanes idle but every step has a defined cotangent
+        state = init
+        state = lax.fori_loop(0, max_steps, lambda i, st: body(st), state)
+        step, active, _t, w_track, _sa, pos, scat_step, scattered = state
+    else:
+        step, active, _t, w_track, _sa, pos, scat_step, scattered = (
+            lax.while_loop(cond, body, init)
+        )
     # phase direction, drawn once at the recorded scatter step's site
     u_ph = uniform2(keys, site + scat_step * SITES_PER_STEP + 3)
     new_dir, _ = hg_sample_direction(rays.d, u_ph[:, 0], u_ph[:, 1], med["g"])
@@ -272,6 +301,7 @@ def _sample_heterogeneous(
 def sample_medium(
     scene, med_idx, rays, t0, t1, path_throughput, keys, site,
     max_steps=256, has_heterogeneous=True, has_homogeneous=True,
+    differentiable=False,
 ):
     """Wavefront ``Object::sampleMedium`` dispatch (reference:
     Src/primitive.cpp:63-74 -> Src/medium.h:148-277 / Src/medium.cpp:45-133).
@@ -296,7 +326,8 @@ def sample_medium(
     if has_heterogeneous:
         parts.append(
             _sample_heterogeneous(
-                scene, med, rays, t0, t1, path_throughput, keys, site, max_steps
+                scene, med, rays, t0, t1, path_throughput, keys, site,
+                max_steps, differentiable=differentiable,
             )
         )
         masks.append(med["mtype"] == MED_HETEROGENEOUS)
@@ -313,7 +344,7 @@ def sample_medium(
 
 
 def segment_transmittance(
-    scene, med_idx, p1, p2, keys, site, max_steps=256,
+    scene, med_idx, p1, p2, keys, site, max_steps=256, differentiable=False,
 ):
     """Transmittance between two points through one medium segment
     (reference: ``Object::sampleTransparency`` -> ``Medium::transmittance``;
@@ -343,7 +374,9 @@ def segment_transmittance(
         s = _free_flight(u, majorant)
         t_new = t + s
         esc = t_new > dist
-        dens = density_lookup(scene, p1 + t_new[:, None] * d) * dm
+        dens = density_lookup(
+            scene, p1 + t_new[:, None] * d, use_packed=not differentiable
+        ) * dm
         sig_n = majorant[:, None] - (med["sigma_a"] + med["sigma_s"]) * dens[:, None]
         tr_new = jnp.where(
             (active & ~esc)[:, None], tr * sig_n * inv_maj[:, None], tr
@@ -357,11 +390,13 @@ def segment_transmittance(
         return (step < max_steps) & jnp.any(active)
 
     is_het = med["mtype"] == MED_HETEROGENEOUS
-    _, active, _, tr_r = lax.while_loop(
-        cond,
-        body,
-        (jnp.int32(0), is_het, jnp.zeros((n,)), jnp.ones((n, 3))),
-    )
+    init = (jnp.int32(0), is_het, jnp.zeros((n,)), jnp.ones((n, 3)))
+    if differentiable:
+        _, active, _, tr_r = lax.fori_loop(
+            0, max_steps, lambda i, st: body(st), init
+        )
+    else:
+        _, active, _, tr_r = lax.while_loop(cond, body, init)
     # exhausted lanes -> 0 (never biased bright)
     tr_r = jnp.where(active[:, None], 0.0, tr_r)
 
