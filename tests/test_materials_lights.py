@@ -166,3 +166,58 @@ def test_distant_light():
     np.testing.assert_allclose(np.asarray(ls.wi), [[0.0, 1.0, 0.0]], atol=1e-6)
     assert np.asarray(ls.pdf)[0] == 1.0
     assert not np.isfinite(np.asarray(ls.t_max)[0]) or np.asarray(ls.t_max)[0] > 1e30
+
+
+def test_sphere_light_area_strategy():
+    """AREA_SAMPLING-style surface sampling integrates to the same
+    irradiance as cone sampling (corrected pdf, see lights.py)."""
+    b = SceneBuilder()
+    b.add_sphere_light((0.0, 4.0, 0.0), 1.0, (5, 5, 5))
+    tables = b.build()
+    n = 40000
+    lidx = jnp.zeros((n,), jnp.int32)
+    pos = jnp.zeros((n, 3))
+    keys = path_keys(3, jnp.arange(n, dtype=jnp.int32), 0)
+    # E[Le * cos_surface / pdf] estimates the same quantity per strategy
+    est = {}
+    for strat in ("cone", "area"):
+        ls = sample_area_light(tables, lidx, pos, uniform2(keys, 0),
+                               sphere_strategy=strat)
+        ok = np.asarray(ls.pdf) > 0
+        contrib = np.asarray(ls.le)[:, 0] * np.maximum(
+            np.asarray(ls.wi)[:, 1], 0.0
+        ) / np.where(ok, np.asarray(ls.pdf), 1.0)
+        est[strat] = (contrib * ok).mean()
+    np.testing.assert_allclose(est["area"], est["cone"], rtol=0.05)
+
+
+def test_culling_toggle():
+    """CULLING define equivalent: backfaces miss when enabled
+    (Src/cmakelists.txt:60, Src/primitive.cpp:147-153)."""
+    import jax as _jax
+    from xraytracer_tpu.geometry import Rays as _Rays
+    from xraytracer_tpu.geometry import intersect as _xi
+
+    b = SceneBuilder()
+    # front face (ng = +z) seen from +z, and the same triangle flipped
+    b.add_mesh(np.asarray([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32),
+               material=b.add_lambert((1, 1, 1)))
+    s = b.build()
+    o = jnp.asarray([[0.2, 0.2, 1.0], [0.2, 0.2, -1.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]])
+    rays = _Rays(o=o, d=d)
+    valid = s.tri_obj >= 0
+    t_on, *_ = _jax.jit(
+        lambda r: _xi.intersect_triangles(
+            r, s.tri_v0, s.tri_e1, s.tri_e2, valid, culling=True
+        )
+    )(rays)
+    t_off, *_ = _jax.jit(
+        lambda r: _xi.intersect_triangles(
+            r, s.tri_v0, s.tri_e1, s.tri_e2, valid, culling=False
+        )
+    )(rays)
+    t_on, t_off = np.asarray(t_on), np.asarray(t_off)
+    assert t_off[0] < 1e30 and t_off[1] < 1e30  # both sides hit w/o culling
+    # with culling exactly one side (det > 0) hits
+    assert (t_on < 1e30).sum() == 1

@@ -170,3 +170,19 @@ def test_phase_eval_matches_hg():
     np.testing.assert_allclose(
         v, (1 - g * g) / (4 * np.pi * denom ** 1.5), rtol=1e-5
     )
+
+
+def test_delta_tracking_transmittance_matches_ratio():
+    """Both transmittance estimators agree in expectation with the closed
+    form on a constant grid (Src/medium.h:321-386)."""
+    from xraytracer_tpu.media import delta_tracking_transmittance
+
+    tables = _hetero_tables(0.5, 0.4, 0.2)
+    p1 = jnp.tile(jnp.asarray([[0.0, 0.0, 0.9]]), (N, 1))
+    p2 = jnp.tile(jnp.asarray([[0.0, 0.0, -0.9]]), (N, 1))
+    tr = delta_tracking_transmittance(
+        tables, jnp.zeros((N,), jnp.int32), p1, p2, _keys(seed=17), 0
+    )
+    est = np.asarray(jnp.mean(tr, axis=0))
+    expect = np.exp(-0.6 * 0.5 * 1.8)
+    np.testing.assert_allclose(est, expect, rtol=0.15)

@@ -135,3 +135,25 @@ def test_cornell_obj_via_builder(tmp_path):
     objloader.load_obj_into(b, str(p))
     tables = b.build()
     assert int((np.asarray(tables.tri_obj) >= 0).sum()) == 3  # 2 + 1 tris
+
+
+def test_emissive_from_ke(tmp_path):
+    """Shapes with Ke become triangle lights when opted in (the reference's
+    dead makeAreaLight, Src/scene.cpp:31-44, made live)."""
+    (tmp_path / "m.mtl").write_text(
+        "newmtl lamp\nKd 1 1 1\nKe 5 4 3\nnewmtl wall\nKd 0.5 0.5 0.5\n"
+    )
+    (tmp_path / "s.obj").write_text(
+        "mtllib m.mtl\no lamp\nusemtl lamp\n"
+        "v 0 2 0\nv 1 2 0\nv 0 2 1\nf 1 2 3\n"
+        "o wall\nusemtl wall\nv 0 0 0\nv 1 0 0\nv 0 0 1\nf 4 5 6\n"
+    )
+    from xraytracer_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    objloader.load_obj_into(b, str(tmp_path / "s.obj"), emissive_from_ke=True)
+    t = b.build()
+    assert int((np.asarray(t.al_type) >= 0).sum()) == 1
+    np.testing.assert_allclose(np.asarray(t.al_le)[0], [5, 4, 3])
+    # the wall is still a plain lambert mesh
+    assert int((np.asarray(t.tri_obj) >= 0).sum()) == 2

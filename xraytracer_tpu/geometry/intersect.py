@@ -34,12 +34,13 @@ from .types import Hit, Rays
 TRI_CHUNK = 128
 
 
-def _tri_chunk_hits(o, d, v0, e1, e2, valid):
+def _tri_chunk_hits(o, d, v0, e1, e2, valid, culling=False):
     """Möller-Trumbore for one (C,)-triangle chunk against (N,) rays.
 
-    Mirrors Src/primitive.cpp:140-168 with CULLING off: parallel rays miss on
-    |det| < kEpsilon, and hits require t > kEpsilon.
-    Returns (t, u, v, ok) each (N, C).
+    Mirrors Src/primitive.cpp:140-168: with ``culling`` (the reference's
+    optional CULLING compile define) backfaces (det < kEpsilon) miss;
+    otherwise parallel rays miss on |det| < kEpsilon. Hits require
+    t > kEpsilon. Returns (t, u, v, ok) each (N, C).
     """
     dN = d[:, None, :]
     pvec = cross(dN, e2[None, :, :])                    # (N, C, 3)
@@ -50,8 +51,9 @@ def _tri_chunk_hits(o, d, v0, e1, e2, valid):
     qvec = cross(tvec, e1[None, :, :])
     v = jnp.einsum("ncj,ncj->nc", dN, qvec) * inv_det
     t = jnp.einsum("cj,ncj->nc", e2, qvec) * inv_det
+    det_ok = (det >= K_EPS) if culling else (jnp.abs(det) >= K_EPS)
     ok = (
-        (jnp.abs(det) >= K_EPS)
+        det_ok
         & (u >= 0.0)
         & (u <= 1.0)
         & (v >= 0.0)
@@ -62,7 +64,8 @@ def _tri_chunk_hits(o, d, v0, e1, e2, valid):
     return t, u, v, ok
 
 
-def intersect_triangles(rays: Rays, v0, e1, e2, valid, chunk=TRI_CHUNK):
+def intersect_triangles(rays: Rays, v0, e1, e2, valid, chunk=TRI_CHUNK,
+                        culling=False):
     """Nearest triangle hit per ray. Tables must be padded to a multiple of
     ``chunk`` (builder guarantees this). Returns (t, idx, u, v); t=INF and
     idx=-1 on miss."""
@@ -85,7 +88,9 @@ def intersect_triangles(rays: Rays, v0, e1, e2, valid, chunk=TRI_CHUNK):
         ce1 = lax.dynamic_slice_in_dim(e1, s, chunk)
         ce2 = lax.dynamic_slice_in_dim(e2, s, chunk)
         cva = lax.dynamic_slice_in_dim(valid, s, chunk)
-        t, u, v, ok = _tri_chunk_hits(rays.o, rays.d, cv0, ce1, ce2, cva)
+        t, u, v, ok = _tri_chunk_hits(
+            rays.o, rays.d, cv0, ce1, ce2, cva, culling=culling
+        )
         t = jnp.where(ok, t, INF)
         local = jnp.argmin(t, axis=1)
         tmin = jnp.take_along_axis(t, local[:, None], axis=1)[:, 0]

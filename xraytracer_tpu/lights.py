@@ -37,11 +37,21 @@ class LightSample(NamedTuple):
     le: jnp.ndarray    # (N, 3) emitted radiance, 0 for backfacing samples
 
 
-def sample_area_light(scene, light_idx, position, u2) -> LightSample:
+def sample_area_light(
+    scene, light_idx, position, u2, sphere_strategy="cone"
+) -> LightSample:
     """Sample one area light per lane, dispatched on its type id.
 
     ``light_idx``: (N,) int32 rows into the area-light table; ``position``:
     (N, 3) shading points; ``u2``: (N, 2) uniforms.
+
+    ``sphere_strategy``: "cone" (the reference's default #else branch) or
+    "area" (the reference's AREA_SAMPLING compile toggle,
+    Src/light.h:131-136,197-200 — uniform point on the sphere surface).
+    Deliberate fix (SURVEY.md §2.4): the reference's AREA_SAMPLING pdf
+    reuses the triangle form 2t^3/|d.n| which is not energy-consistent for
+    a sphere; here the correct solid-angle conversion of the uniform-area
+    pdf is used: t^3 / (4 pi r^2 |d.n|).
     """
     li = jnp.maximum(light_idx, 0)
     ltype = jnp.where(light_idx >= 0, scene.al_type[li], -1)
@@ -67,6 +77,30 @@ def sample_area_light(scene, light_idx, position, u2) -> LightSample:
     denom = jnp.where(denom == 0.0, 1.0, denom)
     t3 = t_flat * t_flat * t_flat
     pdf_flat = jnp.where(ltype == AL_TRIANGLE, 2.0 * t3, t3) / denom
+
+    if sphere_strategy == "area":
+        # uniform point on the sphere surface (Src/light.h:131-136)
+        from .sampling import uniform_sphere
+
+        n_sph = uniform_sphere(u, v)
+        p_sph = center + n_sph * radius[:, None]
+        d_sph = p_sph - position
+        t_sph = length(d_sph)
+        d_dot_n = dot(d_sph, n_sph)
+        front_sph = d_dot_n < 0.0
+        area = 4.0 * jnp.pi * radius * radius
+        denom_s = jnp.abs(d_dot_n) * jnp.maximum(area, 1e-12)
+        pdf_sph = t_sph ** 3 / jnp.where(denom_s == 0.0, 1.0, denom_s)
+
+        is_sph = ltype == AL_SPHERE
+        d = jnp.where(is_sph[:, None], d_sph, d_flat)
+        t_max = jnp.where(is_sph, t_sph, t_flat)
+        pdf = jnp.where(is_sph, pdf_sph, pdf_flat)
+        front = jnp.where(is_sph, front_sph, front_flat) & (ltype >= 0)
+        safe_t = jnp.where(t_max == 0.0, 1.0, t_max)
+        wi = d / safe_t[:, None]
+        le = jnp.where(front[:, None], le, 0.0)
+        return LightSample(wi=wi, t_max=t_max, pdf=pdf, le=le)
 
     # --- sphere: PBRT-style cone sampling, analytic cone pdf -------------
     # (Src/light.h:160-198, the default #else branch)

@@ -404,6 +404,64 @@ def segment_transmittance(
     return jnp.where((med["mtype"] >= 0)[:, None], tr, 1.0)
 
 
+def delta_tracking_transmittance(
+    scene, med_idx, p1, p2, keys, site, max_steps=256,
+):
+    """Delta-tracking (binary) transmittance estimator — the reference's
+    alternate to ratio tracking (Src/medium.h:321-358): pick a channel
+    uniformly, walk majorant free flights, and on a real/absorption
+    collision return 0; survivors accumulate the channel-ratio weight.
+    Higher variance than ratio tracking but each step is cheaper; provided
+    for parity and for variance experiments. ``med_idx`` < 0 lanes return 1.
+    """
+    med = gather_medium(scene, med_idx)
+    n = p1.shape[0]
+    dist = length(p2 - p1)
+    safe = jnp.where(dist == 0.0, 1.0, dist)
+    d = (p2 - p1) / safe[:, None]
+    majorant = med["majorant"]
+    inv_maj = 1.0 / jnp.where(majorant == 0.0, 1.0, majorant)
+    dm = med["density_mult"]
+    # uniform channel pick (sampleWavelength with unit weights,
+    # Src/medium.h:330-333)
+    ch = jnp.minimum((3.0 * uniform1(keys, site)).astype(jnp.int32), 2)
+
+    def body(state):
+        step, active, t, tr = state
+        u = uniform1(keys, site + 1 + step * 2)
+        s = _free_flight(u, majorant)
+        t_new = t + s
+        esc = t_new > dist
+        dens = density_lookup(scene, p1 + t_new[:, None] * d) * dm
+        sig_n = majorant[:, None] - (
+            med["sigma_a"] + med["sigma_s"]
+        ) * dens[:, None]
+        p_n = sig_n * inv_maj[:, None]
+        p_n_c = jnp.take_along_axis(p_n, ch[:, None], axis=-1)[:, 0]
+        u_ev = uniform1(keys, site + 2 + step * 2)
+        collide = active & ~esc & (u_ev > p_n_c)
+        sig_n_c = jnp.take_along_axis(sig_n, ch[:, None], axis=-1)[:, 0]
+        ratio = sig_n / jnp.where(sig_n_c == 0.0, 1.0, sig_n_c)[:, None]
+        tr = jnp.where((active & ~esc & ~collide)[:, None], tr * ratio, tr)
+        tr = jnp.where(collide[:, None], 0.0, tr)
+        active = active & ~esc & ~collide
+        t = jnp.where(active, t_new, t)
+        return step + 1, active, t, tr
+
+    def cond(state):
+        return (state[0] < max_steps) & jnp.any(state[1])
+
+    is_het = med["mtype"] == MED_HETEROGENEOUS
+    init = (jnp.int32(0), is_het, jnp.zeros((n,)), jnp.ones((n, 3)))
+    _, active, _, tr_r = lax.while_loop(cond, body, init)
+    tr_r = jnp.where(active[:, None], 0.0, tr_r)
+
+    sigma_t = med["sigma_a"] + med["sigma_s"]
+    tr_h = _analytic_tr(dist, sigma_t)
+    tr = jnp.where(is_het[:, None], tr_r, tr_h)
+    return jnp.where((med["mtype"] >= 0)[:, None], tr, 1.0)
+
+
 def eval_phase(scene, med_idx, wo, wi):
     """HG phase value between world directions (reference:
     Src/medium.h:86-90, 29-34). ``wo`` = current ray direction."""

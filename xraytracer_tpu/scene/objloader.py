@@ -159,9 +159,14 @@ def parse_obj(path, use_native=True):
     return out, materials
 
 
-def load_obj_into(builder, path, enable_specular=False):
+def load_obj_into(builder, path, enable_specular=False, emissive_from_ke=False):
     """Load an OBJ file into a SceneBuilder, mapping materials like the
-    reference's ``makeMaterial`` (Src/scene.cpp:9-29)."""
+    reference's ``makeMaterial`` (Src/scene.cpp:9-29).
+
+    ``emissive_from_ke``: shapes whose material has a nonzero Ke become
+    triangle area lights — the reference's ``makeAreaLight`` exists but is
+    never called (dead code at Src/scene.cpp:31-44); here it is a live
+    opt-in."""
     shapes, materials = parse_obj(path)
     mat_ids = {}
 
@@ -184,6 +189,14 @@ def load_obj_into(builder, path, enable_specular=False):
 
     objs = []
     for sh in shapes:
+        spec = materials.get(sh["material"]) if sh["material"] else None
+        ke = spec["Ke"] if spec else (0.0, 0.0, 0.0)
+        if emissive_from_ke and any(k > 0 for k in ke):
+            for tri in np.asarray(sh["vertices"]):
+                objs.append(
+                    builder.add_triangle_light(tri[0], tri[1], tri[2], ke)
+                )
+            continue
         objs.append(
             builder.add_mesh(
                 sh["vertices"],
