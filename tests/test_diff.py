@@ -39,6 +39,9 @@ def test_albedo_grad_matches_finite_difference():
     f = jax.jit(f)
     a0 = tables.mat_albedo
     g = jax.jit(jax.grad(f))(a0)
+    # guard against vacuous agreement (a broken pipeline where the param is
+    # unused gives grad == fd == 0)
+    assert float(jnp.abs(g).sum()) > 0.0
     eps = 1e-3
     # probe the white wall's red channel and the green wall's green channel
     for (i, c) in [(0, 0), (1, 1)]:

@@ -36,7 +36,11 @@ def make_radiance_fn(
     wh = jnp.asarray([float(width), float(height)])
 
     def radiance(params, pixel_ids, pixel_xy, sample_idx):
-        scene = tables._replace(**params)
+        from .scene.tables import rejoin_appearance
+
+        # re-derive the denormalized per-triangle appearance columns from
+        # the overridden relational params so gradients reach them
+        scene = rejoin_appearance(tables._replace(**params))
         integrate = make_path_integrator(
             scene, statics, max_depth, nee=nee, cosine_sampling=cosine_sampling
         )

@@ -377,7 +377,7 @@ def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
     hit = t < INF
 
     # triangle surface record (reference: Src/primitive.cpp:96-110) —
-    # ONE gather of the packed (T, 24) record instead of nine table gathers
+    # ONE gather of the packed (T, 32) record instead of many table gathers
     tix = jnp.maximum(ti, 0)
     rec = scene.tri_rec[tix]
     te1 = rec[:, 18:21]
@@ -398,7 +398,12 @@ def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
         + tu[:, None] * rec[:, 11:13]
         + tv[:, None] * rec[:, 13:15]
     )
-    tri_obj = jnp.where(ti >= 0, scene.tri_obj[tix], -1)
+    tri_obj = jnp.where(ti >= 0, rec[:, 24].astype(jnp.int32), -1)
+    tri_light = rec[:, 25].astype(jnp.int32)
+    tri_medium = rec[:, 26].astype(jnp.int32)
+    tri_mtype = rec[:, 27].astype(jnp.int32)
+    tri_ior = rec[:, 28]
+    tri_albedo = rec[:, 29:32]
 
     # sphere surface record (reference: Src/primitive.h:113-123)
     six = jnp.maximum(si, 0)
@@ -413,10 +418,23 @@ def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
         axis=-1,
     )
     sph_obj = jnp.where(si >= 0, scene.sph_obj[six], -1)
+    sph_oix = jnp.maximum(sph_obj, 0)
+    sph_light = jnp.where(sph_obj >= 0, scene.obj_light[sph_oix], -1)
+    sph_medium = jnp.where(sph_obj >= 0, scene.obj_medium[sph_oix], -1)
+    sph_mat = scene.obj_mat[sph_oix]
+    sph_mix = jnp.maximum(sph_mat, 0)
+    sph_mtype = jnp.where(
+        (sph_obj >= 0) & (sph_mat >= 0), scene.mat_type[sph_mix], -1
+    )
+    sph_ior = scene.mat_ior[sph_mix]
+    sph_albedo = scene.mat_albedo[sph_mix]
 
     # box record: t/t1 only, no surface (reference: Src/primitive.h:256-259)
     bix = jnp.maximum(bi, 0)
     box_obj = jnp.where(bi >= 0, scene.box_obj[bix], -1)
+    box_oix = jnp.maximum(box_obj, 0)
+    box_light = jnp.where(box_obj >= 0, scene.obj_light[box_oix], -1)
+    box_medium = jnp.where(box_obj >= 0, scene.obj_medium[box_oix], -1)
 
     is_tri = (kind == 0) & hit
     is_sph = (kind == 1) & hit
@@ -424,6 +442,19 @@ def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
 
     obj = jnp.where(
         is_tri, tri_obj, jnp.where(is_sph, sph_obj, jnp.where(is_box, box_obj, -1))
+    )
+    light = jnp.where(
+        is_tri, tri_light,
+        jnp.where(is_sph, sph_light, jnp.where(is_box, box_light, -1)),
+    )
+    medium = jnp.where(
+        is_tri, tri_medium,
+        jnp.where(is_sph, sph_medium, jnp.where(is_box, box_medium, -1)),
+    )
+    mtype = jnp.where(is_tri, tri_mtype, jnp.where(is_sph, sph_mtype, -1))
+    ior = jnp.where(is_tri, tri_ior, jnp.where(is_sph, sph_ior, 1.0))
+    albedo = jnp.where(
+        is_tri[:, None], tri_albedo, jnp.where(is_sph[:, None], sph_albedo, 0.0)
     )
     t = jnp.where(obj >= 0, t, INF)
     t1 = jnp.where(is_box, b1, INF)
@@ -451,6 +482,11 @@ def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
         dpdv=dpdv,
         uv=uv,
         bary=jnp.stack([tu, tv], axis=-1) * is_tri[:, None],
+        light=light,
+        medium=medium,
+        mtype=mtype,
+        ior=ior,
+        albedo=albedo,
     )
 
 

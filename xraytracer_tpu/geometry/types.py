@@ -28,7 +28,11 @@ class Rays(NamedTuple):
 
 
 class Hit(NamedTuple):
-    """Nearest-hit record for a wavefront. ``obj < 0`` means miss."""
+    """Nearest-hit record for a wavefront. ``obj < 0`` means miss.
+
+    The appearance fields (light/medium/mtype/ior/albedo) are pre-joined
+    from the denormalized primitive records so integrators shade without
+    further table gathers (TPU gathers serialize per element)."""
 
     t: jnp.ndarray         # (N,) distance to hit (INF on miss)
     t1: jnp.ndarray        # (N,) medium exit distance (INF unless box hit)
@@ -40,6 +44,11 @@ class Hit(NamedTuple):
     dpdv: jnp.ndarray      # (N, 3) bitangent
     uv: jnp.ndarray        # (N, 2) texcoords
     bary: jnp.ndarray      # (N, 2) barycentric (u, v)
+    light: jnp.ndarray     # (N,) int32 area-light row, -1 = none
+    medium: jnp.ndarray    # (N,) int32 medium row, -1 = none
+    mtype: jnp.ndarray     # (N,) int32 material type id, -1 = none
+    ior: jnp.ndarray       # (N,)
+    albedo: jnp.ndarray    # (N, 3)
 
     @property
     def hit(self):
@@ -49,10 +58,11 @@ class Hit(NamedTuple):
 def miss_hit(n, dtype=jnp.float32):
     z3 = jnp.zeros((n, 3), dtype)
     z2 = jnp.zeros((n, 2), dtype)
+    neg1 = jnp.full((n,), -1, jnp.int32)
     return Hit(
         t=jnp.full((n,), INF, dtype),
         t1=jnp.full((n,), INF, dtype),
-        obj=jnp.full((n,), -1, jnp.int32),
+        obj=neg1,
         position=z3,
         ng=z3,
         ns=z3,
@@ -60,4 +70,9 @@ def miss_hit(n, dtype=jnp.float32):
         dpdv=z3,
         uv=z2,
         bary=z2,
+        light=neg1,
+        medium=neg1,
+        mtype=neg1,
+        ior=jnp.ones((n,), dtype),
+        albedo=z3,
     )

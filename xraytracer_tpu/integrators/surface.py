@@ -19,7 +19,7 @@ from jax import lax
 from ..constants import INF, SHADOW_BIAS
 from ..geometry import Rays, intersect_scene, occluded
 from ..lights import area_light_le, sample_area_light, sample_delta_light
-from ..materials import eval_bsdf, sample_bsdf
+from ..materials import eval_bsdf_direct, sample_bsdf_direct
 from ..math import dot, local_to_world, world_to_local
 from ..sampling import SITES_PER_BOUNCE, uniform1, uniform2
 
@@ -58,7 +58,9 @@ def make_furnace_integrator(scene, tri_fn=None, cosine_sampling=False):
         wo = world_to_local(-rays.d, hit.dpdu, hit.ns, hit.dpdv)
         u2 = uniform2(keys, _SITE_BSDF)
         ul = uniform1(keys, _SITE_LOBE)
-        bs = sample_bsdf(scene, hit.obj, wo, u2, ul, cosine_sampling)
+        bs = sample_bsdf_direct(
+            hit.mtype, hit.albedo, hit.ior, wo, u2, ul, cosine_sampling
+        )
         return jnp.where(hit.hit[:, None], bs.weight, 0.0)
 
     return integrate
@@ -82,7 +84,7 @@ def _nee_area_lights(scene, statics, hit, d_in, throughput, keys, site0, tri_fn)
         cos = jnp.maximum(0.0, dot(hit.ng, ls.wi))
         wo_l = world_to_local(-d_in, hit.dpdu, hit.ns, hit.dpdv)
         wi_l = world_to_local(ls.wi, hit.dpdu, hit.ns, hit.dpdv)
-        fr = eval_bsdf(scene, hit.obj, wo_l, wi_l)
+        fr = eval_bsdf_direct(hit.mtype, hit.albedo, wo_l, wi_l)
         pdf = jnp.where(ok, ls.pdf, 1.0)
         contrib = (vis & ok)[:, None] * fr * ls.le * (cos / pdf)[:, None]
         direct = direct + contrib
@@ -96,7 +98,7 @@ def make_direct_integrator(scene, statics, tri_fn=None):
 
     def integrate(rays: Rays, keys):
         hit = intersect_scene(scene, rays, tri_fn=tri_fn)
-        lrow = _obj_light(scene, hit.obj)
+        lrow = hit.light
         le = area_light_le(scene, lrow, -rays.d, hit.ns)
         is_emitter = lrow >= 0
         direct = _nee_area_lights(
@@ -151,7 +153,7 @@ def make_path_integrator(
             )
 
             # emitter hit (Src/integrator.h:234-245)
-            lrow = _obj_light(scene, hit.obj)
+            lrow = hit.light
             is_emitter = active & (lrow >= 0)
             le = area_light_le(scene, lrow, -d, hit.ns)
             add_le = is_emitter & (
@@ -176,7 +178,9 @@ def make_path_integrator(
             wo_l = world_to_local(-d, hit.dpdu, hit.ns, hit.dpdv)
             u2 = uniform2(keys, site + _SITE_BSDF)
             ul = uniform1(keys, site + _SITE_LOBE)
-            bs = sample_bsdf(scene, hit.obj, wo_l, u2, ul, cosine_sampling)
+            bs = sample_bsdf_direct(
+                hit.mtype, hit.albedo, hit.ior, wo_l, u2, ul, cosine_sampling
+            )
             wi = local_to_world(bs.wi, hit.dpdu, hit.ns, hit.dpdv)
             throughput = jnp.where(
                 active[:, None], throughput * bs.weight, throughput
@@ -246,15 +250,7 @@ def make_whitted_integrator(scene, statics, max_depth=3, tri_fn=None):
             )
             active = active & hit.hit
 
-            mtype = jnp.where(
-                hit.obj >= 0,
-                scene.mat_type[jnp.maximum(scene.obj_mat[jnp.maximum(hit.obj, 0)], 0)],
-                -1,
-            )
-            has_mat = (hit.obj >= 0) & (
-                scene.obj_mat[jnp.maximum(hit.obj, 0)] >= 0
-            )
-            mtype = jnp.where(has_mat, mtype, -1)
+            mtype = hit.mtype
 
             # Lambert: delta-light NEE, terminate (Src/integrator.h:328-343)
             is_lambert = active & (mtype == 0)
@@ -267,7 +263,7 @@ def make_whitted_integrator(scene, statics, max_depth=3, tri_fn=None):
                 cos = jnp.maximum(0.0, dot(hit.ns, ls.wi))
                 wo_l = world_to_local(-d, hit.dpdu, hit.ns, hit.dpdv)
                 wi_l = world_to_local(ls.wi, hit.dpdu, hit.ns, hit.dpdv)
-                fr = eval_bsdf(scene, hit.obj, wo_l, wi_l)
+                fr = eval_bsdf_direct(hit.mtype, hit.albedo, wo_l, wi_l)
                 pdf = jnp.where(ls.pdf == 0.0, 1.0, ls.pdf)
                 direct = direct + vis[:, None] * fr * ls.le * (cos / pdf)[:, None]
             radiance = radiance + jnp.where(
@@ -280,7 +276,7 @@ def make_whitted_integrator(scene, statics, max_depth=3, tri_fn=None):
             wo_l = world_to_local(-d, hit.dpdu, hit.ns, hit.dpdv)
             u2 = uniform2(keys, site + _SITE_BSDF)
             ul = uniform1(keys, site + _SITE_LOBE)
-            bs = sample_bsdf(scene, hit.obj, wo_l, u2, ul)
+            bs = sample_bsdf_direct(hit.mtype, hit.albedo, hit.ior, wo_l, u2, ul)
             wi = local_to_world(bs.wi, hit.dpdu, hit.ns, hit.dpdv)
             throughput = jnp.where(
                 active[:, None], throughput * bs.weight, throughput

@@ -80,7 +80,7 @@ def make_volume_integrator(
 
             # emitter hit (Src/integrator.h:441-446; NEE variant adds Le only
             # at depth 0, Src/integrator.h:517-526)
-            lrow = jnp.where(hit.obj >= 0, scene.obj_light[jnp.maximum(hit.obj, 0)], -1)
+            lrow = hit.light
             is_emitter = active & (lrow >= 0)
             le = area_light_le(scene, lrow, -d, hit.ns)
             add_le = is_emitter & (depth == 0) if nee else is_emitter
@@ -88,9 +88,7 @@ def make_volume_integrator(
             active = active & ~is_emitter
 
             # medium sampling (Src/integrator.h:449-468)
-            med_idx = jnp.where(
-                hit.obj >= 0, scene.obj_medium[jnp.maximum(hit.obj, 0)], -1
-            )
+            med_idx = hit.medium
             has_med = active & (med_idx >= 0)
             ms = sample_medium(
                 scene, jnp.where(has_med, med_idx, -1), cur, hit.t, hit.t1,
@@ -113,9 +111,8 @@ def make_volume_integrator(
                 # transmittance over its [t, t1] span, anything else passes.
                 srays = Rays(o=ms.pos, d=ls.wi)
                 shit = intersect_scene(scene, srays, tri_fn=tri_fn)
-                s_obj = jnp.maximum(shit.obj, 0)
-                s_has_surface = (shit.obj >= 0) & (scene.obj_mat[s_obj] >= 0)
-                s_med = jnp.where(shit.obj >= 0, scene.obj_medium[s_obj], -1)
+                s_has_surface = (shit.obj >= 0) & (shit.mtype >= 0)
+                s_med = shit.medium
                 t1_fin = jnp.where(jnp.isfinite(shit.t1), shit.t1, shit.t)
                 tr = segment_transmittance(
                     scene,

@@ -50,19 +50,24 @@ def _gather_mat(scene, obj):
     return mtype, scene.mat_albedo[m], scene.mat_ior[m]
 
 
-def eval_bsdf(scene, obj, wo, wi):
-    """f(wo, wi) for the NEE/direct-lighting path. Delta lobes evaluate to 0.
+def eval_bsdf_direct(mtype, albedo, wo, wi):
+    """f(wo, wi) from pre-joined appearance data (no table gathers).
+    Delta lobes evaluate to 0.
 
     Lambert: albedo/pi when both directions are above the surface
     (reference: Src/material.h:34-44 returns 0 unless cosThetaO, cosThetaI > 0).
     """
-    mtype, albedo, _ = _gather_mat(scene, obj)
     above = (wo[:, 1] > 0.0) & (wi[:, 1] > 0.0)
     lam = albedo * PI_INV
-    f = jnp.where(
+    return jnp.where(
         ((mtype == MAT_LAMBERT) & above)[:, None], lam, jnp.zeros_like(lam)
     )
-    return f
+
+
+def eval_bsdf(scene, obj, wo, wi):
+    """Object-id convenience wrapper around ``eval_bsdf_direct``."""
+    mtype, albedo, _ = _gather_mat(scene, obj)
+    return eval_bsdf_direct(mtype, albedo, wo, wi)
 
 
 def bsdf_pdf(scene, obj, wo, wi, cosine_sampling=False):
@@ -77,8 +82,11 @@ def bsdf_pdf(scene, obj, wo, wi, cosine_sampling=False):
     return jnp.where((mtype == MAT_LAMBERT) & above, p, 0.0)
 
 
-def sample_bsdf(scene, obj, wo, u2, u_lobe, cosine_sampling=False) -> BsdfSample:
-    """Sample one bounce direction per lane, dispatched on material type.
+def sample_bsdf_direct(
+    mtype, albedo, ior, wo, u2, u_lobe, cosine_sampling=False
+) -> BsdfSample:
+    """Sample one bounce direction per lane from pre-joined appearance data,
+    dispatched on material type.
 
     * Lambert — uniform hemisphere, pdf 1/2pi (reference: Src/material.h:55-73)
       or cosine-weighted (Malley) when ``cosine_sampling`` — the lower-variance
@@ -89,7 +97,6 @@ def sample_bsdf(scene, obj, wo, u2, u_lobe, cosine_sampling=False) -> BsdfSample
       branches, Src/integrator.h:355-381; one-sample selection is the
       wavefront-friendly unbiased equivalent).
     """
-    mtype, albedo, ior = _gather_mat(scene, obj)
     n = wo.shape[0]
 
     # --- Lambert lanes ---------------------------------------------------
@@ -144,4 +151,12 @@ def sample_bsdf(scene, obj, wo, u2, u_lobe, cosine_sampling=False) -> BsdfSample
     flip_side = is_glass & ~pick_reflect
     return BsdfSample(
         wi=wi, weight=weight, pdf=pdf, is_delta=is_delta, flip_side=flip_side
+    )
+
+
+def sample_bsdf(scene, obj, wo, u2, u_lobe, cosine_sampling=False) -> BsdfSample:
+    """Object-id convenience wrapper around ``sample_bsdf_direct``."""
+    mtype, albedo, ior = _gather_mat(scene, obj)
+    return sample_bsdf_direct(
+        mtype, albedo, ior, wo, u2, u_lobe, cosine_sampling
     )

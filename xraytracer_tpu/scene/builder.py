@@ -366,9 +366,31 @@ class SceneBuilder:
         tri_uv0 = col(tris, 6)
         tri_uv1 = col(tris, 7)
         tri_uv2 = col(tris, 8)
+        # pre-join the object -> material/light/medium indirection per
+        # triangle (see tables.SceneTables.tri_rec layout)
+        tri_obj_col = np.asarray([r[9] for r in tris], np.int32)
+        n_t = len(tris)
+        j_light = np.full(n_t, -1, np.float32)
+        j_medium = np.full(n_t, -1, np.float32)
+        j_mtype = np.full(n_t, -1, np.float32)
+        j_ior = np.ones(n_t, np.float32)
+        j_albedo = np.zeros((n_t, 3), np.float32)
+        for i, oid in enumerate(tri_obj_col):
+            if oid < 0:
+                continue
+            mat, light, medium = objs[oid]
+            j_light[i] = light
+            j_medium[i] = medium
+            if mat >= 0:
+                mtype, alb, ior = mats[mat]
+                j_mtype[i] = mtype
+                j_ior[i] = ior
+                j_albedo[i] = np.asarray(alb, f32) * np.ones(3, f32)
         tri_rec = np.concatenate(
             [tri_n0, tri_n1, tri_n2, tri_uv0, tri_uv1, tri_uv2,
-             tri_v0, tri_e1, tri_e2],
+             tri_v0, tri_e1, tri_e2,
+             tri_obj_col[:, None].astype(f32), j_light[:, None],
+             j_medium[:, None], j_mtype[:, None], j_ior[:, None], j_albedo],
             axis=1,
         )
 

@@ -54,10 +54,17 @@ class SceneTables(NamedTuple):
     tri_uv1: jnp.ndarray  # (T, 2)
     tri_uv2: jnp.ndarray  # (T, 2)
     tri_obj: jnp.ndarray  # (T,) int32
-    # packed per-triangle record [n0 n1 n2 | uv0 uv1 uv2 | v0 e1 e2] so the
-    # hot surface-record path does ONE gather instead of nine (TPU gathers
-    # are expensive; see geometry/intersect.py)
-    tri_rec: jnp.ndarray  # (T, 24)
+    # packed per-triangle record so the hot surface-record path does ONE
+    # gather instead of many (TPU gathers serialize per element):
+    # cols 0-8   n0 n1 n2        (vertex normals)
+    # cols 9-14  uv0 uv1 uv2
+    # cols 15-23 v0 e1 e2
+    # cols 24-27 obj, light, medium, mat_type   (ints as float32, exact)
+    # col  28    ior
+    # cols 29-31 albedo
+    # The relational obj -> material/light/medium indirection is PRE-JOINED
+    # here (denormalized) so shading needs no further table gathers.
+    tri_rec: jnp.ndarray  # (T, 32)
 
     # analytic spheres
     sph_center: jnp.ndarray  # (S, 3)
@@ -121,3 +128,39 @@ class SceneTables(NamedTuple):
     @property
     def n_tris(self):
         return self.tri_v0.shape[0]
+
+
+def rejoin_appearance(tables: "SceneTables") -> "SceneTables":
+    """Recompute tri_rec's denormalized appearance columns (24-31) from the
+    relational tables, differentiably.
+
+    The builder pre-joins obj -> material/light/medium data into ``tri_rec``
+    for gather-free shading; when a differentiable pipeline overrides
+    relational leaves (``tables._replace(mat_albedo=...)``) the join must be
+    redone with jnp ops so gradients flow into the real parameters."""
+    import jax.numpy as jnp
+
+    oix = jnp.maximum(tables.tri_obj, 0)
+    has_obj = tables.tri_obj >= 0
+    mat = jnp.where(has_obj, tables.obj_mat[oix], -1)
+    mix = jnp.maximum(mat, 0)
+    has_mat = mat >= 0
+    mtype = jnp.where(has_mat, tables.mat_type[mix], -1)
+    ior = jnp.where(has_mat, tables.mat_ior[mix], 1.0)
+    albedo = jnp.where(has_mat[:, None], tables.mat_albedo[mix], 0.0)
+    light = jnp.where(has_obj, tables.obj_light[oix], -1)
+    medium = jnp.where(has_obj, tables.obj_medium[oix], -1)
+    f32 = jnp.float32
+    rec = jnp.concatenate(
+        [
+            tables.tri_rec[:, :24],
+            tables.tri_obj.astype(f32)[:, None],
+            light.astype(f32)[:, None],
+            medium.astype(f32)[:, None],
+            mtype.astype(f32)[:, None],
+            ior[:, None],
+            albedo,
+        ],
+        axis=1,
+    )
+    return tables._replace(tri_rec=rec)
