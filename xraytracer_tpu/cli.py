@@ -110,6 +110,8 @@ def main(argv=None):
     p.add_argument("--gamma", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--spp-chunk", type=int, default=None, dest="spp_chunk")
+    p.add_argument("--max-steps", type=int, default=None, dest="max_steps",
+                   help="tracking-loop step bound for volume integrators")
     p.add_argument("--cosine", action="store_true", default=None,
                    dest="cosine_sampling",
                    help="cosine-weighted Lambert sampling (lower variance)")
@@ -131,7 +133,7 @@ def main(argv=None):
         args.preset,
         integrator=args.integrator, width=args.width, height=args.height,
         spp=args.spp, max_depth=args.max_depth, gamma=args.gamma,
-        seed=args.seed, spp_chunk=args.spp_chunk,
+        seed=args.seed, spp_chunk=args.spp_chunk, max_steps=args.max_steps,
         cosine_sampling=args.cosine_sampling, shard=args.shard,
         checkpoint=args.checkpoint, obj=args.obj, output=args.output,
     )
