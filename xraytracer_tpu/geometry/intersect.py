@@ -348,12 +348,25 @@ def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
     the default is platform-dependent: the fused Pallas kernel on TPU, the
     XLA matmul formulation elsewhere.
     """
-    tri_fn = _resolve_tri_fn(tri_fn)
     n = rays.o.shape[0]
 
-    tt, ti, tu, tv = tri_fn(
-        rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_obj >= 0
-    )
+    use_rec_kernel = False
+    if tri_fn is None:
+        try:
+            use_rec_kernel = jax.devices()[0].platform == "tpu"
+        except Exception:
+            use_rec_kernel = False
+    if use_rec_kernel:
+        # fused sweep + in-kernel winner-record extraction (no HBM gather)
+        from .pallas_kernels import intersect_triangles_pallas_rec
+
+        tt, ti, tu, tv, rec = intersect_triangles_pallas_rec(rays, scene)
+    else:
+        tri_fn = _resolve_tri_fn(tri_fn)
+        tt, ti, tu, tv = tri_fn(
+            rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_obj >= 0
+        )
+        rec = scene.tri_rec[jnp.maximum(ti, 0)]
     if _table_nonempty(scene.sph_obj):
         st, si = intersect_spheres(
             rays, scene.sph_center, scene.sph_radius, scene.sph_obj >= 0
@@ -377,9 +390,7 @@ def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
     hit = t < INF
 
     # triangle surface record (reference: Src/primitive.cpp:96-110) —
-    # ONE gather of the packed (T, 32) record instead of many table gathers
-    tix = jnp.maximum(ti, 0)
-    rec = scene.tri_rec[tix]
+    # from the packed (T, 32) record (extracted in-kernel on TPU)
     te1 = rec[:, 18:21]
     te2 = rec[:, 21:24]
     w = (1.0 - tu - tv)[:, None]

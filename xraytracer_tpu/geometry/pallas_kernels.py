@@ -46,11 +46,36 @@ def _sweep_kernel(
     f_ref, g_ref, t_ref, i_ref, u_ref, v_ref, *, n_chunks, tc, use_mxu=True,
     anyhit=False,
 ):
+    _sweep_kernel_impl(
+        f_ref, g_ref, None, t_ref, i_ref, u_ref, v_ref, None,
+        n_chunks=n_chunks, tc=tc, use_mxu=use_mxu, anyhit=anyhit,
+    )
+
+
+def _sweep_kernel_rec(
+    f_ref, g_ref, rec_ref_in, t_ref, i_ref, u_ref, v_ref, rec_ref, *,
+    n_chunks, tc, use_mxu=True,
+):
+    _sweep_kernel_impl(
+        f_ref, g_ref, rec_ref_in, t_ref, i_ref, u_ref, v_ref, rec_ref,
+        n_chunks=n_chunks, tc=tc, use_mxu=use_mxu, anyhit=False,
+    )
+
+
+def _sweep_kernel_impl(
+    f_ref, g_ref, rec_in, t_ref, i_ref, u_ref, v_ref, rec_out, *,
+    n_chunks, tc, use_mxu=True, anyhit=False,
+):
     """One 4096-ray tile vs. all triangle chunks.
 
     f_ref: (10, RAY_TILE) ray features; g_ref: (n_chunks, 4*tc, 10)
     chunk-grouped triangle features (row sections [det | u | v | t]);
     t_ref/i_ref/u_ref/v_ref: (RAY_ROWS, RAY_LANES) winner t / index / u / v.
+    rec_in/rec_out (record variant only): (n_chunks, tc, 32) per-triangle
+    surface records and the (RAY_ROWS, 32, RAY_LANES) winner record,
+    extracted with ONE one-hot (32, tc)@(tc, RAY_LANES) MXU matmul per
+    chunk — this replaces the post-kernel (N, 32) HBM gather, which costs
+    several ms at 456k lanes because TPU gathers serialize.
 
     Nearest-hit selection uses a packed int32 key: positive float32 order
     as int bits, low 7 mantissa bits replaced by the chunk-local triangle
@@ -65,7 +90,7 @@ def _sweep_kernel(
         f = f_ref[:, r * RAY_LANES:(r + 1) * RAY_LANES]   # (10, 512)
 
         def chunk(c, carry):
-            bk, bi, bt, bu, bv = carry                     # (1, 512) each
+            bk, bi, bt, bu, bv, brec = carry               # (1, 512) each
             g = g_ref[c]                                   # (4*tc, 10)
             if use_mxu:
                 prod = jax.lax.dot_general(
@@ -116,7 +141,7 @@ def _sweep_kernel(
             bi = jnp.where(better, c * tc + (kmin & _IDX_MASK), bi)
             bk = jnp.minimum(bk, kmin)
             if anyhit:
-                return bk, bi, bt, bu, bv
+                return bk, bi, bt, bu, bv, brec
             # winner extraction: the key-matching row's exact f32 values
             win = key == kmin                              # one row per lane
             neg = jnp.float32(-3.0e38)
@@ -130,13 +155,25 @@ def _sweep_kernel(
             bt = jnp.where(better, t_w, bt)
             bu = jnp.where(better, u_w, bu)
             bv = jnp.where(better, v_w, bv)
-            return bk, bi, bt, bu, bv
+            if rec_in is not None:
+                # one-hot matmul: (32, tc) @ win(tc, 512) -> winner record
+                win_f = win.astype(jnp.float32)
+                rec_w = jax.lax.dot_general(
+                    rec_in[c], win_f,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                          # (32, 512)
+                brec = jnp.where(better, rec_w, brec)
+            return bk, bi, bt, bu, bv, brec
 
         bk = jnp.full((1, RAY_LANES), _INF_KEY, jnp.int32)
         bi = jnp.full((1, RAY_LANES), -1, jnp.int32)
         zf = jnp.zeros((1, RAY_LANES), jnp.float32)
-        bk, bi, bt, bu, bv = lax.fori_loop(
-            0, n_chunks, chunk, (bk, bi, jnp.full_like(zf, _BIG), zf, zf)
+        brec0 = jnp.zeros((32, RAY_LANES), jnp.float32)
+        bk, bi, bt, bu, bv, brec = lax.fori_loop(
+            0, n_chunks, chunk,
+            (bk, bi, jnp.full_like(zf, _BIG), zf, zf, brec0),
         )
         if anyhit:
             # decode the approximate t from the packed key (2^-16 relative
@@ -147,6 +184,8 @@ def _sweep_kernel(
         i_ref[r, :] = bi[0]
         u_ref[r, :] = bu[0]
         v_ref[r, :] = bv[0]
+        if rec_out is not None:
+            rec_out[r, :, :] = brec
 
 
 def _build_g_chunks(v0, e1, e2, valid, tc):
@@ -213,6 +252,96 @@ def _sweep(rays: Rays, v0, e1, e2, valid, interpret, anyhit):
         f, g_chunks, n_pad, anyhit=anyhit, interpret=interpret
     )
     return bt[:n], bi[:n], bu[:n], bv[:n]
+
+
+def sweep_pallas_rec(f, g_chunks, rec_chunks, n_rays_padded, *, interpret=False):
+    """Fused sweep + in-kernel winner-record extraction.
+    Returns (t, idx, u, v, rec) with rec (n_tiles*8, 32, RAY_LANES)."""
+    n_chunks, four_tc, _ = g_chunks.shape
+    tc = four_tc // 4
+    n_tiles = n_rays_padded // RAY_TILE
+    kernel = partial(_sweep_kernel_rec, n_chunks=n_chunks, tc=tc)
+    out_spec = pl.BlockSpec(
+        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = (n_tiles * RAY_ROWS, RAY_LANES)
+    t, idx, u, v, rec = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (10, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                g_chunks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                rec_chunks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[out_spec] * 4 + [
+            pl.BlockSpec(
+                (RAY_ROWS, 32, RAY_LANES), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.int32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(
+                (n_tiles * RAY_ROWS, 32, RAY_LANES), jnp.float32
+            ),
+        ],
+        interpret=interpret,
+    )(f, g_chunks, rec_chunks)
+    return (
+        t.reshape(-1), idx.reshape(-1), u.reshape(-1), v.reshape(-1), rec
+    )
+
+
+def intersect_triangles_pallas_rec(rays: Rays, scene, interpret=False):
+    """Nearest-hit sweep that also returns the winner's (N, 32) packed
+    surface record, extracted in-kernel (no HBM gather). Falls back to
+    (sweep + gather) when the table shape doesn't fit the kernel."""
+    v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
+    valid = scene.tri_obj >= 0
+    n = rays.o.shape[0]
+    t_total = v0.shape[0]
+    if t_total == 0 or t_total % TRI_CHUNK:
+        from .intersect import intersect_triangles
+
+        tt, ti, tu, tv = intersect_triangles(rays, v0, e1, e2, valid)
+        rec = scene.tri_rec[jnp.maximum(ti, 0)]
+        rec = jnp.where((ti >= 0)[:, None], rec, 0.0)
+        return tt, ti, tu, tv, rec
+
+    center = jnp.mean(v0, axis=0)
+    g_chunks = _build_g_chunks(v0 - center, e1, e2, valid, TRI_CHUNK)
+    n_chunks = t_total // TRI_CHUNK
+    rec_chunks = scene.tri_rec.reshape(n_chunks, TRI_CHUNK, 32)
+
+    from .intersect import _ray_features_t
+
+    f = _ray_features_t(rays.o - center, rays.d)
+    n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    if n_pad != n:
+        f = jnp.pad(f, ((0, 0), (0, n_pad - n)))
+    bt, bi, bu, bv, rec = sweep_pallas_rec(
+        f, g_chunks, rec_chunks, n_pad, interpret=interpret
+    )
+    # (G8, 32, L) -> (N, 32)
+    rec = rec.transpose(0, 2, 1).reshape(-1, 32)[:n]
+    bt, bi, bu, bv = bt[:n], bi[:n], bu[:n], bv[:n]
+    hit = bi >= 0
+    return (
+        jnp.where(hit, bt, INF),
+        bi,
+        jnp.where(hit, bu, 0.0),
+        jnp.where(hit, bv, 0.0),
+        rec,
+    )
 
 
 def intersect_triangles_pallas(
