@@ -16,7 +16,19 @@ BASELINE_RAYS_PER_S = 1.0e8  # self-set target (BASELINE.md)
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: the GI pipeline's Pallas programs take
+    # minutes to compile; cached artifacts make repeat bench runs start fast
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from xraytracer_tpu.camera import PinholeCamera
     from xraytracer_tpu.integrators import make_path_integrator

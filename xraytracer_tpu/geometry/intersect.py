@@ -71,7 +71,8 @@ def intersect_triangles(rays: Rays, v0, e1, e2, valid, chunk=TRI_CHUNK,
     idx=-1 on miss."""
     n = rays.o.shape[0]
     t_total = v0.shape[0]
-    n_chunks = t_total // chunk
+    chunk = min(chunk, t_total)
+    n_chunks = t_total // chunk if chunk else 0
 
     def _v0():
         return (

@@ -239,8 +239,10 @@ def sweep_pallas(f, g_chunks, n_rays_padded, *, anyhit=False, interpret=False):
 def _sweep(rays: Rays, v0, e1, e2, valid, interpret, anyhit):
     """Shared front half: features + fused sweep -> (t, idx, u, v)."""
     n = rays.o.shape[0]
+    t_total = v0.shape[0]
+    tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
     center = jnp.mean(v0, axis=0)
-    g_chunks = _build_g_chunks(v0 - center, e1, e2, valid, TRI_CHUNK)
+    g_chunks = _build_g_chunks(v0 - center, e1, e2, valid, tc)
 
     from .intersect import _ray_features_t
 
@@ -309,7 +311,8 @@ def intersect_triangles_pallas_rec(rays: Rays, scene, interpret=False):
     valid = scene.tri_obj >= 0
     n = rays.o.shape[0]
     t_total = v0.shape[0]
-    if t_total == 0 or t_total % TRI_CHUNK:
+    tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
+    if t_total == 0 or t_total % tc or tc % 32:
         from .intersect import intersect_triangles
 
         tt, ti, tu, tv = intersect_triangles(rays, v0, e1, e2, valid)
@@ -318,9 +321,9 @@ def intersect_triangles_pallas_rec(rays: Rays, scene, interpret=False):
         return tt, ti, tu, tv, rec
 
     center = jnp.mean(v0, axis=0)
-    g_chunks = _build_g_chunks(v0 - center, e1, e2, valid, TRI_CHUNK)
-    n_chunks = t_total // TRI_CHUNK
-    rec_chunks = scene.tri_rec.reshape(n_chunks, TRI_CHUNK, 32)
+    g_chunks = _build_g_chunks(v0 - center, e1, e2, valid, tc)
+    n_chunks = t_total // tc
+    rec_chunks = scene.tri_rec.reshape(n_chunks, tc, 32)
 
     from .intersect import _ray_features_t
 
@@ -351,7 +354,8 @@ def intersect_triangles_pallas(
     by the fused kernel; the winner's exact f32 (t, u, v) come out of the
     kernel itself (no HBM epilogue)."""
     t_total = v0.shape[0]
-    if t_total == 0 or t_total % TRI_CHUNK:
+    tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
+    if t_total == 0 or t_total % tc or tc % 32:
         from .intersect import intersect_triangles
 
         return intersect_triangles(rays, v0, e1, e2, valid)
@@ -373,7 +377,8 @@ def intersect_triangles_pallas_anyhit(
     compares t against a biased t_max, so the quantization is far below the
     bias scale."""
     t_total = v0.shape[0]
-    if t_total == 0 or t_total % TRI_CHUNK:
+    tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
+    if t_total == 0 or t_total % tc or tc % 32:
         from .intersect import intersect_triangles
 
         return intersect_triangles(rays, v0, e1, e2, valid)

@@ -33,7 +33,14 @@ from .tables import (
     SceneTables,
 )
 
-TRI_PAD = 128  # triangle table padded to a multiple of the intersect chunk
+# Triangle table padding: multiples of 32 up to 128 (the Pallas sweep
+# handles any single chunk <= 128 rows), then multiples of 128 (the
+# multi-chunk kernels require it). Small scenes avoid paying for a full
+# 128-row chunk (Cornell has ~21 real triangles).
+def _tri_pad(n):
+    if n <= 128:
+        return max(32, ((n + 31) // 32) * 32)
+    return ((n + 127) // 128) * 128
 
 
 class SceneBuilder:
@@ -310,7 +317,8 @@ class SceneBuilder:
         blank_tri = (
             np.zeros(3, f32),) * 3 + (np.zeros(3, f32),) * 3 + (
             np.zeros(2, f32),) * 3 + (-1,)
-        tris = pad_rows(self._tris, blank_tri, multiple=TRI_PAD)
+        n_tri_padded = _tri_pad(max(len(self._tris), 1))
+        tris = pad_rows(self._tris, blank_tri, n_min=n_tri_padded)
 
         def col(rows, i):
             return np.stack([np.asarray(r[i], f32) for r in rows])
