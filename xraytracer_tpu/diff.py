@@ -36,13 +36,17 @@ def make_radiance_fn(
     wh = jnp.asarray([float(width), float(height)])
 
     def radiance(params, pixel_ids, pixel_xy, sample_idx):
+        from .geometry.intersect import intersect_triangles_mm
         from .scene.tables import rejoin_appearance
 
         # re-derive the denormalized per-triangle appearance columns from
         # the overridden relational params so gradients reach them
         scene = rejoin_appearance(tables._replace(**params))
+        # pin the XLA triangle sweep: the fused Pallas kernel is the faster
+        # forward path but does not support reverse-mode autodiff
         integrate = make_path_integrator(
-            scene, statics, max_depth, nee=nee, cosine_sampling=cosine_sampling
+            scene, statics, max_depth, nee=nee,
+            cosine_sampling=cosine_sampling, tri_fn=intersect_triangles_mm,
         )
         keys = path_keys(seed, pixel_ids, sample_idx)
         u = uniform2(keys, CAMERA_SITE)

@@ -44,6 +44,11 @@ def make_volume_integrator(
     naturally detached through their boolean masks). Costs the early-exit
     optimization, so keep ``max_steps`` tight.
     """
+    if differentiable and tri_fn is None:
+        # the fused Pallas sweep has no reverse-mode rule; pin the XLA path
+        from ..geometry.intersect import intersect_triangles_mm
+
+        tri_fn = intersect_triangles_mm
     if n_iterations is None:
         n_iterations = 2 * max_depth + 2
     assert _SITE_MEDIUM + max_steps * SITES_PER_STEP <= _SITE_NEE_PICK
