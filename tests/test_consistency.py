@@ -1,0 +1,70 @@
+"""Cross-estimator consistency gates: independent estimators of the same
+integral must agree in expectation (catches pdf/weight bugs that
+single-estimator statistical tests cannot)."""
+
+import numpy as np
+
+from xraytracer_tpu.camera import PinholeCamera
+from xraytracer_tpu.integrators import (
+    make_path_integrator,
+    make_volume_integrator,
+)
+from xraytracer_tpu.math import from_rows
+from xraytracer_tpu.renderer import render
+from xraytracer_tpu.scene.builder import SceneBuilder, scene_statics
+from xraytracer_tpu.scene.presets import build_cornell_box, cornell_camera
+
+
+def test_gi_equals_indirect_in_expectation():
+    """GI (NEE) and Indirect (BSDF-only) estimate the same transport; their
+    converged means must agree (no-MIS double-count bugs would split them).
+
+    Depth accounting: GI connects to the light at EVERY surface vertex
+    (including the last), so GI at max_depth=d covers the same maximum path
+    length as Indirect at max_depth=d+1 (whose last vertex must HIT the
+    light via BSDF sampling) — exactly the reference's loop structures
+    (Src/integrator.h:158-166 vs 236-267)."""
+    W, H = 24, 18
+    tables = build_cornell_box().build()
+    st = scene_statics(tables)
+    cam = PinholeCamera.make(W / H, **cornell_camera())
+    r_gi = render(
+        tables, cam, make_path_integrator(tables, st, 2, nee=True),
+        W, H, 256, seed=1,
+    )
+    r_in = render(
+        tables, cam, make_path_integrator(tables, st, 3, nee=False),
+        W, H, 1024, seed=2,
+    )
+    np.testing.assert_allclose(r_gi.image.mean(), r_in.image.mean(), rtol=0.05)
+
+
+def test_vpt_equals_vpt_nee_in_expectation():
+    """VolumePathTracing and its NEE variant estimate the same integral on a
+    homogeneous slab + quad light."""
+    W, H = 16, 16
+    b = SceneBuilder()
+    b.add_homogeneous_medium(
+        0.3, (0.2, 0.2, 0.2), (0.6, 0.6, 0.6), (-1, -1, -1), (1, 1, 1)
+    )
+    b.add_quad_light((0.5, 1.5, 0.5), (-0.5, 1.5, 0.5), (0.5, 1.5, -0.5),
+                     (6.0, 6.0, 6.0))
+    tables = b.build()
+    st = scene_statics(tables)
+    c2w = from_rows(1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 4.0, 1)
+    cam = PinholeCamera.make(1.0, c2w=c2w, fov_deg=45.0)
+    r_pt = render(
+        tables, cam,
+        make_volume_integrator(tables, st, 6, nee=False, max_steps=32),
+        W, H, 1024, seed=3,
+    )
+    r_nee = render(
+        tables, cam,
+        make_volume_integrator(tables, st, 6, nee=True, max_steps=32),
+        W, H, 256, seed=4,
+    )
+    # NEE adds the emitter-visible-from-scatter paths the PT variant finds
+    # by chance; means agree within MC noise at these sample counts
+    np.testing.assert_allclose(
+        r_pt.image.mean(), r_nee.image.mean(), rtol=0.08
+    )
