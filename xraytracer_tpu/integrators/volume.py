@@ -155,7 +155,14 @@ def make_volume_integrator(
             jnp.zeros((n,), jnp.int32),
             jnp.ones((n,), bool),
         )
-        radiance, *_ = lax.fori_loop(0, n_iterations, iteration, state)
+        # unroll short loops: straight-line code runs measurably faster than
+        # device-side while loops on the TPU toolchain (see surface.py)
+        if n_iterations <= 24:
+            for it in range(n_iterations):
+                state = iteration(it, state)
+            radiance = state[0]
+        else:
+            radiance, *_ = lax.fori_loop(0, n_iterations, iteration, state)
         return radiance
 
     return integrate
