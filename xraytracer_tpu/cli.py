@@ -87,11 +87,13 @@ def make_integrator(cfg, tables, statics):
         return make_whitted_integrator(tables, statics, cfg.max_depth)
     if cfg.integrator == "vpt":
         return make_volume_integrator(
-            tables, statics, cfg.max_depth, nee=False, max_steps=cfg.max_steps
+            tables, statics, cfg.max_depth, nee=False,
+            max_steps=cfg.max_steps or None,
         )
     if cfg.integrator == "vpt_nee":
         return make_volume_integrator(
-            tables, statics, cfg.max_depth, nee=True, max_steps=cfg.max_steps
+            tables, statics, cfg.max_depth, nee=True,
+            max_steps=cfg.max_steps or None,
         )
     raise ValueError(f"unknown integrator {cfg.integrator!r}")
 

@@ -33,7 +33,7 @@ _SITE_NEE_TR = 8208
 
 
 def make_volume_integrator(
-    scene, statics, max_depth, nee=False, max_steps=256, tri_fn=None,
+    scene, statics, max_depth, nee=False, max_steps=None, tri_fn=None,
     n_iterations=None, differentiable=False,
 ):
     """Factory for both volume integrators (``nee`` selects the variant).
@@ -44,6 +44,10 @@ def make_volume_integrator(
     naturally detached through their boolean masks). Costs the early-exit
     optimization, so keep ``max_steps`` tight.
     """
+    if max_steps is None:
+        from ..media import default_max_steps
+
+        max_steps = default_max_steps(scene)
     if differentiable and tri_fn is None:
         # the fused Pallas sweep has no reverse-mode rule; pin the XLA path
         from ..geometry.intersect import intersect_triangles_mm

@@ -467,3 +467,24 @@ def eval_phase(scene, med_idx, wo, wi):
     Src/medium.h:86-90, 29-34). ``wo`` = current ray direction."""
     med = gather_medium(scene, med_idx)
     return hg_phase(dot(wo, wi), med["g"])[:, None] * jnp.ones((1, 3))
+
+
+def default_max_steps(tables, safety=3.0, floor=64, cap=4096):
+    """Principled tracking-step bound: majorant * grid-bbox diagonal is the
+    expected null-collision step count to cross the whole volume, so
+    ``safety`` times that (plus slack) makes bound-truncation (which biases
+    dark) astronomically unlikely (SURVEY.md §7 "hard parts"). Host-side,
+    from concrete tables."""
+    import numpy as np
+
+    med_type = np.asarray(tables.med_type)
+    het = med_type == MED_HETEROGENEOUS
+    if not het.any():
+        return floor
+    maj = float(np.asarray(tables.med_majorant)[het].max())
+    diag = float(
+        np.linalg.norm(
+            np.asarray(tables.grid_max) - np.asarray(tables.grid_min)
+        )
+    )
+    return int(min(cap, max(floor, safety * maj * diag + 32)))
