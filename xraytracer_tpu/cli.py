@@ -83,6 +83,11 @@ def make_integrator(cfg, tables, statics):
             tables, statics, cfg.max_depth, nee=True,
             cosine_sampling=cfg.cosine_sampling,
         )
+    if cfg.integrator == "gi_mis":
+        return make_path_integrator(
+            tables, statics, cfg.max_depth, mis=True,
+            cosine_sampling=cfg.cosine_sampling,
+        )
     if cfg.integrator == "whitted":
         return make_whitted_integrator(tables, statics, cfg.max_depth)
     if cfg.integrator == "vpt":

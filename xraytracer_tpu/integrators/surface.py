@@ -66,13 +66,20 @@ def make_furnace_integrator(scene, tri_fn=None, cosine_sampling=False):
     return integrate
 
 
-def _nee_area_lights(scene, statics, hit, d_in, throughput, keys, site0, tri_fn):
+def _nee_area_lights(
+    scene, statics, hit, d_in, throughput, keys, site0, tri_fn,
+    mis=False, cosine_sampling=False,
+):
     """Per-vertex NEE summed over ALL area lights (reference:
     Src/integrator.h:93-109 and 250-269: no light selection, no MIS).
 
     cos is clamped against the geometric normal and shadow rays start at
     position + 0.01 * ng with range tmax - 0.01, exactly as the reference.
+    With ``mis`` each light sample is power-heuristic weighted against the
+    BSDF pdf for the same direction (capability beyond the reference).
     """
+    from ..materials import bsdf_pdf_direct
+
     direct = jnp.zeros_like(throughput)
     for i in range(statics["n_area_lights"]):
         lidx = jnp.full(hit.obj.shape, i, jnp.int32)
@@ -87,6 +94,10 @@ def _nee_area_lights(scene, statics, hit, d_in, throughput, keys, site0, tri_fn)
         fr = eval_bsdf_direct(hit.mtype, hit.albedo, wo_l, wi_l)
         pdf = jnp.where(ok, ls.pdf, 1.0)
         contrib = (vis & ok)[:, None] * fr * ls.le * (cos / pdf)[:, None]
+        if mis:
+            p_b = bsdf_pdf_direct(hit.mtype, wo_l, wi_l, cosine_sampling)
+            w = ls.pdf ** 2 / jnp.maximum(ls.pdf ** 2 + p_b ** 2, 1e-20)
+            contrib = contrib * jnp.where(ok, w, 1.0)[:, None]
         direct = direct + contrib
     return direct
 
@@ -113,7 +124,7 @@ def make_direct_integrator(scene, statics, tri_fn=None):
 
 def make_path_integrator(
     scene, statics, max_depth, nee=True, le_depth0_only=None,
-    cosine_sampling=False, tri_fn=None,
+    cosine_sampling=False, tri_fn=None, mis=False,
 ):
     """Indirect (``nee=False``) and GI (``nee=True``) path tracing
     (reference: Src/integrator.h:122-190 and 198-291).
@@ -124,7 +135,16 @@ def make_path_integrator(
     without NEE it contributes at every depth; background is black;
     re-origin at +0.01*ng (flipped for glass transmission — live Mirror /
     Glass materials are an extension, see materials.py).
+
+    ``mis=True`` (beyond the reference): NEE and BSDF light hits are
+    combined with the power heuristic — emitter hits contribute at every
+    depth, weighted against the light pdf for the sampled direction; light
+    samples are weighted against the BSDF pdf. Lower variance than either
+    strategy alone, unbiased.
     """
+    if mis:
+        nee = True
+        le_depth0_only = False
     if le_depth0_only is None:
         le_depth0_only = nee
 
@@ -132,7 +152,7 @@ def make_path_integrator(
         n = rays.o.shape[0]
 
         def bounce(depth, state):
-            radiance, throughput, o, d, active = state
+            radiance, throughput, o, d, active, prev_pdf, prev_delta = state
             site = depth * SITES_PER_BOUNCE
             cur = Rays(o=o, d=d)
             hit = intersect_scene(scene, cur, tri_fn=tri_fn)
@@ -156,9 +176,21 @@ def make_path_integrator(
             lrow = hit.light
             is_emitter = active & (lrow >= 0)
             le = area_light_le(scene, lrow, -d, hit.ns)
-            add_le = is_emitter & (
-                (depth == 0) if le_depth0_only else jnp.bool_(True)
-            )
+            if mis:
+                # power-heuristic weight vs. the NEE pdf for this direction
+                from ..lights import light_pdf_for_direction
+
+                p_l = light_pdf_for_direction(scene, lrow, o, d, hit.t)
+                w_b = prev_pdf ** 2 / jnp.maximum(
+                    prev_pdf ** 2 + p_l ** 2, 1e-20
+                )
+                w_b = jnp.where((depth == 0) | prev_delta, 1.0, w_b)
+                le = le * w_b[:, None]
+                add_le = is_emitter
+            else:
+                add_le = is_emitter & (
+                    (depth == 0) if le_depth0_only else jnp.bool_(True)
+                )
             radiance = radiance + jnp.where(
                 add_le[:, None], throughput * le, 0.0
             )
@@ -169,6 +201,7 @@ def make_path_integrator(
                 direct = _nee_area_lights(
                     scene, statics, hit, d, throughput, keys,
                     site + _SITE_LIGHT0, tri_fn,
+                    mis=mis, cosine_sampling=cosine_sampling,
                 )
                 radiance = radiance + jnp.where(
                     active[:, None], throughput * direct, 0.0
@@ -195,7 +228,9 @@ def make_path_integrator(
                 o,
             )
             d = jnp.where(active[:, None], wi, d)
-            return radiance, throughput, o, d, active
+            prev_pdf = jnp.where(active, bs.pdf, prev_pdf)
+            prev_delta = jnp.where(active, bs.is_delta, prev_delta)
+            return radiance, throughput, o, d, active, prev_pdf, prev_delta
 
         state = (
             jnp.zeros((n, 3)),
@@ -203,6 +238,8 @@ def make_path_integrator(
             rays.o,
             rays.d,
             jnp.ones((n,), bool),
+            jnp.ones((n,)),
+            jnp.zeros((n,), bool),
         )
         # unroll small depths: straight-line code avoids the while-loop's
         # per-iteration carry copies and fuses across bounces (measurably

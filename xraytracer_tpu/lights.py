@@ -192,3 +192,36 @@ def pick_uniform_light(n_lights, u):
     static Python int (from ``scene_statics``)."""
     idx = jnp.minimum((u * n_lights).astype(jnp.int32), n_lights - 1)
     return idx, 1.0 / n_lights
+
+
+def light_pdf_for_direction(scene, light_idx, position, wi, t_hit):
+    """Solid-angle pdf that ``sample_area_light`` would have assigned to the
+    direction ``wi`` from ``position`` hitting light ``light_idx`` at
+    distance ``t_hit`` — the MIS counterpart pdf for BSDF-sampled emitter
+    hits. Follows the same conventions as ``sample_area_light``:
+
+      triangle: 2 t^2 / |wi . Ng|   (Ng unnormalized, from pdf=2t^3/|d.Ng|)
+      quad:       t^2 / |wi . Ng|
+      sphere:   1 / (2 pi (1 - cos_theta_max)) from ``position``
+
+    Rows with ``light_idx < 0`` return 0.
+    """
+    li = jnp.maximum(light_idx, 0)
+    ltype = jnp.where(light_idx >= 0, scene.al_type[li], -1)
+    ng = scene.al_ng[li]
+    center = scene.al_center[li]
+    radius = scene.al_radius[li]
+
+    denom = jnp.abs(dot(wi, ng))
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    t2 = t_hit * t_hit
+    pdf_flat = jnp.where(ltype == AL_TRIANGLE, 2.0 * t2, t2) / denom
+
+    dz_len2 = dot(center - position, center - position)
+    safe_len2 = jnp.where(dz_len2 == 0.0, 1.0, dz_len2)
+    sin_tm2 = radius * radius / safe_len2
+    cos_tm = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_tm2))
+    pdf_sph = 1.0 / (PI_MUL_2 * jnp.maximum(1.0 - cos_tm, 1e-12))
+
+    pdf = jnp.where(ltype == AL_SPHERE, pdf_sph, pdf_flat)
+    return jnp.where(ltype >= 0, pdf, 0.0)

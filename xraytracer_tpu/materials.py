@@ -70,16 +70,21 @@ def eval_bsdf(scene, obj, wo, wi):
     return eval_bsdf_direct(mtype, albedo, wo, wi)
 
 
-def bsdf_pdf(scene, obj, wo, wi, cosine_sampling=False):
+def bsdf_pdf_direct(mtype, wo, wi, cosine_sampling=False):
     """Solid-angle pdf of ``sample_bsdf`` having produced ``wi`` — needed for
     MIS. Delta lobes report 0."""
-    mtype, _, _ = _gather_mat(scene, obj)
     above = (wo[:, 1] > 0.0) & (wi[:, 1] > 0.0)
     if cosine_sampling:
         p = jnp.maximum(wi[:, 1], 0.0) * PI_INV
     else:
         p = jnp.full_like(wi[:, 1], PI_MUL_2_INV)
     return jnp.where((mtype == MAT_LAMBERT) & above, p, 0.0)
+
+
+def bsdf_pdf(scene, obj, wo, wi, cosine_sampling=False):
+    """Object-id convenience wrapper around ``bsdf_pdf_direct``."""
+    mtype, _, _ = _gather_mat(scene, obj)
+    return bsdf_pdf_direct(mtype, wo, wi, cosine_sampling)
 
 
 def sample_bsdf_direct(
