@@ -47,6 +47,7 @@ struct Shape {
 struct ObjResult {
   std::vector<Shape> shapes;
   std::vector<Material> materials;
+  std::string error;  // non-empty -> parse failed (mirrors Python's raise)
 };
 
 std::string dirOf(const std::string& path) {
@@ -105,8 +106,13 @@ void parseMtl(const std::string& path,
   std::fclose(f);
 }
 
+// OBJ 1-based / negative-relative index -> 0-based; -2 marks out-of-range
+// (including the illegal index 0 and unparsable tokens, which strtol maps
+// to 0) so the caller can fail like the Python parser's IndexError instead
+// of reading out of bounds (round-1 ADVICE item 2).
 inline int resolveIdx(long idx, size_t n) {
-  return idx > 0 ? (int)(idx - 1) : (int)((long)n + idx);
+  long r = idx > 0 ? idx - 1 : (long)n + idx;
+  return (r < 0 || r >= (long)n) ? -2 : (int)r;
 }
 
 struct Corner { int v, t, n; };
@@ -186,6 +192,11 @@ ObjResult* xrt_parse_obj(const char* path) {
             c.n = resolveIdx(ni, vns.size() / 3);
           }
         }
+        if (c.v == -2 || c.t == -2 || c.n == -2) {
+          mats->error = "invalid face index '" + tok[w] + "' in " + path;
+          std::fclose(f);
+          return mats;
+        }
         corners.push_back(c);
       }
       for (size_t k = 1; k + 1 < corners.size(); ++k) {
@@ -225,6 +236,9 @@ ObjResult* xrt_parse_obj(const char* path) {
 }
 
 void xrt_free_obj(ObjResult* r) { delete r; }
+
+// empty string when the parse succeeded
+const char* xrt_obj_error(ObjResult* r) { return r->error.c_str(); }
 
 int xrt_obj_num_shapes(ObjResult* r) { return (int)r->shapes.size(); }
 const char* xrt_obj_shape_name(ObjResult* r, int i) { return r->shapes[i].name.c_str(); }

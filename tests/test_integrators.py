@@ -187,3 +187,46 @@ def test_nan_rejection_counts():
     assert r.n_rejected == 4  # 2 bad lanes x 2 spp
     np.testing.assert_allclose(r.image.reshape(-1, 3)[0], 0.0)
     np.testing.assert_allclose(r.image.reshape(-1, 3)[2], 1.0)
+
+
+def test_whitted_split_variance():
+    """Bounds the per-spp variance cost of the stochastic one-sample Fresnel
+    selection that replaces the reference's deterministic both-branch queue
+    split (Src/integrator.h:355-381; PARITY.md "Whitted split").
+
+    Measured here: per-pixel std across 6 independent seeds at 16 spp on the
+    mirror+glass scene. Recorded values (virtual CPU, round 2): mean relative
+    std = 0.040 over the full frame, 0.223 over the glass-sphere region (the
+    stochastic lobe choice is the dominant noise there; a deterministic split
+    would push it toward the frame mean). The asserted ceilings leave ~50%
+    headroom, so a regression that (say) drops the Fresnel weighting or
+    double-counts a branch trips the gate.
+    """
+    b = SceneBuilder()
+    floor = np.asarray(
+        [
+            [[-10, 0, -10], [10, 0, -10], [-10, 0, 10]],
+            [[10, 0, -10], [10, 0, 10], [-10, 0, 10]],
+        ],
+        np.float32,
+    )
+    b.add_mesh(floor, material=b.add_lambert((0.8, 0.2, 0.2)))
+    b.add_sphere((-1.5, 1.0, 0.0), 1.0, material=b.add_mirror())
+    b.add_sphere((1.5, 1.0, 0.0), 1.0, material=b.add_glass())
+    b.add_point_light((0.0, 8.0, 4.0), (1, 1, 1), 200.0)
+    tables = b.build()
+    statics = scene_statics(tables)
+    c2w = from_rows(1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 1.5, 8.0, 1)
+    cam = PinholeCamera.make(1.0, c2w=c2w, fov_deg=45.0)
+    integ = make_whitted_integrator(tables, statics, 4)
+    imgs = np.stack([
+        np.asarray(render(tables, cam, integ, 48, 48, 16, seed=s).image)
+        for s in range(6)
+    ])
+    std = imgs.std(axis=0).mean(axis=-1)          # (H, W)
+    mean = np.maximum(imgs.mean(axis=(0, 3)), 1e-3)
+    rel = std / mean
+    # glass sphere occupies the right-center of the frame
+    glass = rel[16:36, 28:46]
+    assert rel.mean() < 0.08, rel.mean()
+    assert glass.mean() < 0.33, glass.mean()

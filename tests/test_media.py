@@ -186,3 +186,27 @@ def test_delta_tracking_transmittance_matches_ratio():
     est = np.asarray(jnp.mean(tr, axis=0))
     expect = np.exp(-0.6 * 0.5 * 1.8)
     np.testing.assert_allclose(est, expect, rtol=0.15)
+
+
+def test_large_max_steps_factory_does_not_crash():
+    """A dense grid (majorant x bbox diagonal > 700) auto-derives
+    max_steps > 2044; the factory must still build (round-1 VERDICT item 2:
+    the fixed NEE site offset used to assert out). Also checks the derived
+    bound and that an impossible bound raises a sized ValueError."""
+    from xraytracer_tpu.integrators import make_volume_integrator
+    from xraytracer_tpu.integrators.volume import _nee_site_layout
+    from xraytracer_tpu.media import default_max_steps
+    from xraytracer_tpu.scene.builder import scene_statics
+    from xraytracer_tpu.scene.presets import build_volume_scene
+
+    tables = build_volume_scene(res=(8, 8, 8), scattering=(3.0, 3.0, 3.0)).build()
+    steps = default_max_steps(tables)
+    assert steps > 2044  # the configuration that used to crash
+    st = scene_statics(tables)
+    integ = make_volume_integrator(tables, st, 2, nee=True)  # must not raise
+    assert integ is not None
+    # layouts at or below the historical bound are bit-identical to round 1
+    assert _nee_site_layout(2044) == (8192, 8193, 8208)
+    assert _nee_site_layout(128) == (8192, 8193, 8208)
+    with pytest.raises(ValueError, match="site budget"):
+        _nee_site_layout(20000)

@@ -157,3 +157,19 @@ def test_emissive_from_ke(tmp_path):
     np.testing.assert_allclose(np.asarray(t.al_le)[0], [5, 4, 3])
     # the wall is still a plain lambert mesh
     assert int((np.asarray(t.tri_obj) >= 0).sum()) == 2
+
+
+@pytest.mark.parametrize("face", ["f 1 2 99", "f 0 2 3", "f 1/9/1 2/1/1 3/1/1"])
+def test_invalid_face_index_fails_identically(tmp_path, face):
+    """A malformed face token must raise IndexError from BOTH parsers
+    instead of reading out of bounds in C++ (round-1 ADVICE item 2)."""
+    p = tmp_path / "bad.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vt 0 0\nvn 0 0 1\n" + face + "\n"
+    )
+    with pytest.raises(IndexError):
+        objloader.parse_obj(str(p), use_native=False)
+    if native.get_lib() is not None:
+        with pytest.raises(IndexError):
+            native.parse_obj(str(p))

@@ -10,10 +10,11 @@ density) works directly. Discrete sampling decisions (RR kill, lobe choice,
 light pick) enter only through boolean masks — autodiff naturally treats
 them as detached, differentiating only the continuous integrand factors
 (the detached-sampling estimator; SURVEY.md §7 "hard parts"). The volume
-integrators use ``lax.while_loop`` tracking loops, which are not
-reverse-mode differentiable; ``max_steps``-bounded ``fori_loop`` variants
-would be the remat-friendly path and are left for the volume-diff
-milestone.
+integrators' default ``lax.while_loop`` tracking loops are not reverse-mode
+differentiable; ``make_volume_integrator(differentiable=True)`` switches
+them to ``max_steps``-bounded ``fori_loop`` variants and pins the XLA
+triangle sweep, making sigma_a/sigma_s/Le/grid-density gradients available
+(tested in tests/test_diff_volume.py).
 """
 
 from functools import partial

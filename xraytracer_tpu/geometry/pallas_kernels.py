@@ -132,6 +132,12 @@ def _sweep_kernel_impl(
             inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
             t = jnp.where(ok, t_num * inv_det, 1.0)
             local = jax.lax.broadcasted_iota(jnp.int32, (tc, RAY_LANES), 0)
+            # Tie-break quantization (PARITY.md "nearest-hit tie-break"):
+            # replacing the low 7 mantissa bits with the triangle row means
+            # two hits within ~2^-17 relative t compare equal in the t field
+            # and tie-break by (chunk, row) order — coincident/z-fighting
+            # geometry can therefore pick a different (still ~equidistant)
+            # primitive than the XLA argmin path.
             key = (
                 jax.lax.bitcast_convert_type(t, jnp.int32) & ~_IDX_MASK
             ) | local

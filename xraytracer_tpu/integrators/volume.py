@@ -12,9 +12,13 @@ shape) with a per-lane depth counter; lanes kill when their depth reaches
 RNG site layout per iteration (within its SITES_PER_BOUNCE block):
   0           Russian roulette
   16..        sampleMedium tracking loop (max_steps * SITES_PER_STEP sites)
-  8192        NEE light pick
-  8193        NEE light-sample 2-uniform
-  8208..      NEE transmittance ratio-tracking loop
+  P           NEE light pick, where P = max(8192, 16 + max_steps*SITES_PER_STEP)
+  P+1         NEE light-sample 2-uniform
+  P+16..      NEE transmittance ratio-tracking loop
+
+The NEE block floats above the tracking block as a function of ``max_steps``
+(anchored at 8192 so every layout with max_steps <= 2044 — all round-1
+configs and goldens — is bit-identical to the historical fixed layout).
 """
 
 import jax.numpy as jnp
@@ -27,9 +31,27 @@ from ..sampling import SITES_PER_BOUNCE, uniform1, uniform2
 
 _SITE_RR = 0
 _SITE_MEDIUM = 16
-_SITE_NEE_PICK = 8192
-_SITE_NEE_LIGHT = 8193
-_SITE_NEE_TR = 8208
+
+
+def _nee_site_layout(max_steps):
+    """NEE RNG site offsets for a given tracking-step bound.
+
+    Anchored at 8192 (the historical fixed offset) so layouts for
+    max_steps <= 2044 are unchanged; larger bounds float the NEE block up.
+    Raises a sized ValueError when the per-bounce site budget is exceeded
+    instead of the old bare assert (round-1 VERDICT item 2).
+    """
+    pick = max(8192, _SITE_MEDIUM + max_steps * SITES_PER_STEP)
+    tr = pick + 16
+    if tr + max_steps > SITES_PER_BOUNCE:
+        limit = (SITES_PER_BOUNCE - _SITE_MEDIUM - 16) // (SITES_PER_STEP + 1)
+        raise ValueError(
+            f"max_steps={max_steps} exceeds the per-bounce RNG site budget "
+            f"(SITES_PER_BOUNCE={SITES_PER_BOUNCE} allows at most "
+            f"{limit} tracking steps); pass a smaller max_steps or reduce "
+            "the medium majorant / grid extent"
+        )
+    return pick, pick + 1, tr
 
 
 def make_volume_integrator(
@@ -55,8 +77,7 @@ def make_volume_integrator(
         tri_fn = intersect_triangles_mm
     if n_iterations is None:
         n_iterations = 2 * max_depth + 2
-    assert _SITE_MEDIUM + max_steps * SITES_PER_STEP <= _SITE_NEE_PICK
-    assert _SITE_NEE_TR + max_steps <= SITES_PER_BOUNCE
+    _SITE_NEE_PICK, _SITE_NEE_LIGHT, _SITE_NEE_TR = _nee_site_layout(max_steps)
     n_lights = statics["n_area_lights"]
 
     def integrate(rays: Rays, keys):

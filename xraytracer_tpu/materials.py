@@ -96,6 +96,15 @@ def sample_bsdf_direct(
     * Lambert — uniform hemisphere, pdf 1/2pi (reference: Src/material.h:55-73)
       or cosine-weighted (Malley) when ``cosine_sampling`` — the lower-variance
       option BASELINE.md's north star asks for.
+
+      Documented divergence (PARITY.md "cosine normal"): the cos factor
+      folded into ``weight`` is against the SHADING normal (``wi.y`` in the
+      local shading frame), whereas the reference multiplies fr*cos with cos
+      against the GEOMETRIC normal (dot(nextDir, ng),
+      Src/integrator.h:173,277). Identical for the reference's flat-normal
+      scenes (ns == ng everywhere); for smooth OBJ meshes with interpolated
+      normals the shading-normal cosine is the standard (and less
+      artifact-prone) choice, so we keep it deliberately.
     * Mirror — delta reflection about +Y; weight = tint.
     * Glass — Fresnel-weighted single-sample choice between reflection and
       refraction using ``u_lobe`` (the reference's Whitted queue pushes both

@@ -43,6 +43,8 @@ def _bind(lib):
     lib.xrt_parse_obj.restype = c_void_p
     lib.xrt_parse_obj.argtypes = [c_char_p]
     lib.xrt_free_obj.argtypes = [c_void_p]
+    lib.xrt_obj_error.restype = c_char_p
+    lib.xrt_obj_error.argtypes = [c_void_p]
     lib.xrt_obj_num_shapes.restype = c_int
     lib.xrt_obj_num_shapes.argtypes = [c_void_p]
     lib.xrt_obj_shape_name.restype = c_char_p
@@ -100,6 +102,10 @@ def parse_obj(path):
     if not handle:
         raise FileNotFoundError(path)
     try:
+        err = lib.xrt_obj_error(handle).decode()
+        if err:
+            # fail like the Python parser does on a bad face index
+            raise IndexError(err)
         shapes = []
         for i in range(lib.xrt_obj_num_shapes(handle)):
             t = lib.xrt_obj_shape_tri_count(handle, i)
