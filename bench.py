@@ -1,23 +1,147 @@
 """Benchmark: GI Cornell box rays/s on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 The reference publishes no numbers (SURVEY.md §6), so the baseline is the
 self-set target in BASELINE.json: primary-rays/s on the GI Cornell box
 (780x585, depth 3). ``vs_baseline`` is measured rays/s divided by the
 1e8 rays/s/chip target.
+
+``extra`` carries the secondary north-star metrics (BASELINE.md):
+  * fwd_bwd_rays_per_s — primary rays/s through jax.value_and_grad of the
+    L2 loss on the differentiable GI Cornell pipeline (forward + backward),
+    the second half of BASELINE.json's declared throughput metric;
+  * vpt_rays_per_s — homogeneous VolumePathTracing preset (256x256 depth 10);
+  * het_tracking_ms — one heterogeneous delta-tracking wavefront
+    (65k lanes, bounded masked loop) on the procedural cloud.
+Set XRT_BENCH_FAST=1 to skip the extras (primary metric only).
 """
 
 import json
+import os
 import sys
 import time
 
 BASELINE_RAYS_PER_S = 1.0e8  # self-set target (BASELINE.md)
 
 
-def main():
-    import os
+def _bench_gi_forward():
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators import make_path_integrator
+    from xraytracer_tpu.renderer import WavefrontRenderer
+    from xraytracer_tpu.scene.builder import scene_statics
+    from xraytracer_tpu.scene.presets import build_cornell_box, cornell_camera
 
+    w, h = 780, 585
+    spp = 64
+    tables = build_cornell_box().build()
+    statics = scene_statics(tables)
+    camera = PinholeCamera.make(w / h, **cornell_camera())
+    integrate = make_path_integrator(
+        tables, statics, max_depth=3, nee=True, cosine_sampling=True
+    )
+    # one compiled pipeline; warmup call pays compilation, timed call reuses
+    renderer = WavefrontRenderer(tables, camera, integrate, w, h, seed=0)
+    renderer.render(2)
+    r = renderer.render(spp)
+    return r.samples_per_sec  # primary camera rays per second
+
+
+def _bench_gi_fwd_bwd():
+    """rays/s through value_and_grad of the L2 image loss (diff.py pipeline:
+    XLA matmul sweep, rejoined appearance) — BASELINE.md's forward+backward
+    throughput metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.diff import make_loss_fn, make_radiance_fn
+    from xraytracer_tpu.renderer import pixel_grid
+    from xraytracer_tpu.scene.builder import scene_statics
+    from xraytracer_tpu.scene.presets import build_cornell_box, cornell_camera
+
+    w, h = 780, 585
+    tables = build_cornell_box().build()
+    statics = scene_statics(tables)
+    camera = PinholeCamera.make(w / h, **cornell_camera())
+    radiance = make_radiance_fn(
+        tables, statics, camera, w, h, max_depth=3, cosine_sampling=True
+    )
+    grad_fn = jax.jit(jax.value_and_grad(make_loss_fn(radiance)))
+    pixel_ids, pixel_xy = pixel_grid(w, h)
+    target = jnp.zeros((w * h, 3))
+    params = {"mat_albedo": tables.mat_albedo}
+    # warmup (compile)
+    val, g = grad_fn(params, pixel_ids, pixel_xy, target, 0)
+    jax.block_until_ready(g["mat_albedo"])
+    n_steps = 8
+    t0 = time.perf_counter()
+    for s in range(1, 1 + n_steps):
+        val, g = grad_fn(params, pixel_ids, pixel_xy, target, s)
+    jax.block_until_ready(g["mat_albedo"])
+    dt = time.perf_counter() - t0
+    return w * h * n_steps / dt
+
+
+def _bench_vpt():
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators import make_volume_integrator
+    from xraytracer_tpu.renderer import WavefrontRenderer
+    from xraytracer_tpu.scene.builder import scene_statics
+    from xraytracer_tpu.scene.presets import preset_vpt
+
+    tables, cam_kwargs, cfg = preset_vpt()
+    w = h = 256
+    statics = scene_statics(tables)
+    camera = PinholeCamera.make(w / h, **cam_kwargs)
+    integrate = make_volume_integrator(tables, statics, 10, nee=False)
+    renderer = WavefrontRenderer(tables, camera, integrate, w, h, seed=0)
+    renderer.render(1)
+    r = renderer.render(9)
+    return r.samples_per_sec
+
+
+def _bench_het_tracking():
+    """One bounded-loop delta-tracking wavefront on the procedural cloud:
+    65k lanes through sample_medium (the volume-path hot loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xraytracer_tpu.geometry import Rays
+    from xraytracer_tpu.media import sample_medium
+    from xraytracer_tpu.sampling import path_keys
+    from xraytracer_tpu.scene.presets import build_volume_scene
+
+    tables = build_volume_scene().build()
+    n = 65536
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, 400.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    rays = Rays(o=o, d=d)
+    t0v = jnp.full((n,), 240.0)
+    t1v = jnp.full((n,), 560.0)
+    tp = jnp.ones((n, 3))
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=0)
+    def run(seed):
+        keys = path_keys(seed, jnp.arange(n, dtype=jnp.int32), 0)
+        ms = sample_medium(
+            tables, jnp.zeros((n,), jnp.int32), rays, t0v, t1v, tp, keys, 16,
+            max_steps=128, has_heterogeneous=True,
+        )
+        return ms.weight
+
+    jax.block_until_ready(run(0))
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(1, 1 + reps):
+        out = run(i)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def main():
     import jax
 
     # persistent compilation cache: the GI pipeline's Pallas programs take
@@ -30,28 +154,19 @@ def main():
     except Exception:
         pass
 
-    from xraytracer_tpu.camera import PinholeCamera
-    from xraytracer_tpu.integrators import make_path_integrator
-    from xraytracer_tpu.renderer import render
-    from xraytracer_tpu.scene.builder import scene_statics
-    from xraytracer_tpu.scene.presets import build_cornell_box, cornell_camera
-
-    w, h = 780, 585
-    spp = 64
-    tables = build_cornell_box().build()
-    statics = scene_statics(tables)
-    camera = PinholeCamera.make(w / h, **cornell_camera())
-    integrate = make_path_integrator(
-        tables, statics, max_depth=3, nee=True, cosine_sampling=True
-    )
-
-    # one compiled pipeline; warmup call pays compilation, timed call reuses
-    from xraytracer_tpu.renderer import WavefrontRenderer
-
-    renderer = WavefrontRenderer(tables, camera, integrate, w, h, seed=0)
-    renderer.render(2)
-    r = renderer.render(spp)
-    rays_per_s = r.samples_per_sec  # primary camera rays per second
+    rays_per_s = _bench_gi_forward()
+    extra = {}
+    if not os.environ.get("XRT_BENCH_FAST"):
+        # fault-isolated: a failing extra must never lose the primary metric
+        for name, fn in (
+            ("fwd_bwd_rays_per_s", _bench_gi_fwd_bwd),
+            ("vpt_rays_per_s", _bench_vpt),
+            ("het_tracking_ms", _bench_het_tracking),
+        ):
+            try:
+                extra[name] = fn()
+            except Exception as e:  # pragma: no cover
+                extra[name] = f"error: {type(e).__name__}: {e}"[:200]
 
     print(
         json.dumps(
@@ -60,6 +175,7 @@ def main():
                 "value": rays_per_s,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+                "extra": extra,
             }
         )
     )

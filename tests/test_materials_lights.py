@@ -180,7 +180,7 @@ def test_sphere_light_area_strategy():
     keys = path_keys(3, jnp.arange(n, dtype=jnp.int32), 0)
     # E[Le * cos_surface / pdf] estimates the same quantity per strategy
     est = {}
-    for strat in ("cone", "area"):
+    for strat in ("cone", "area", "intersect"):
         ls = sample_area_light(tables, lidx, pos, uniform2(keys, 0),
                                sphere_strategy=strat)
         ok = np.asarray(ls.pdf) > 0
@@ -189,6 +189,38 @@ def test_sphere_light_area_strategy():
         ) / np.where(ok, np.asarray(ls.pdf), 1.0)
         est[strat] = (contrib * ok).mean()
     np.testing.assert_allclose(est["area"], est["cone"], rtol=0.05)
+    # INTERSECT_METHOD (Src/light.h:136-156) shares the cone pdf and must
+    # estimate the same irradiance
+    np.testing.assert_allclose(est["intersect"], est["cone"], rtol=0.05)
+
+
+def test_sphere_light_intersect_strategy_details():
+    """The intersect strategy's samples lie ON the sphere surface, are
+    front-facing, and interior shading points get Le = 0
+    (Src/light.h:150-156)."""
+    b = SceneBuilder()
+    b.add_sphere_light((0.0, 4.0, 0.0), 1.0, (5, 5, 5))
+    tables = b.build()
+    n = 4096
+    lidx = jnp.zeros((n,), jnp.int32)
+    keys = path_keys(7, jnp.arange(n, dtype=jnp.int32), 0)
+    ls = sample_area_light(tables, lidx, jnp.zeros((n, 3)),
+                           uniform2(keys, 0), sphere_strategy="intersect")
+    p = np.zeros((n, 3)) + np.asarray(ls.wi) * np.asarray(ls.t_max)[:, None]
+    r = np.linalg.norm(p - np.asarray([0.0, 4.0, 0.0]), axis=-1)
+    lit = np.asarray(ls.le)[:, 0] > 0
+    assert lit.mean() > 0.95          # cone aimed at the sphere: mostly hits
+    np.testing.assert_allclose(r[lit], 1.0, atol=5e-3)
+    expect_pdf = 1.0 / (2 * np.pi * (1 - np.sqrt(1 - 1 / 16)))
+    np.testing.assert_allclose(np.asarray(ls.pdf), expect_pdf, rtol=1e-4)
+    # shading point INSIDE the sphere -> zero radiance
+    inside = sample_area_light(
+        tables, jnp.zeros((4,), jnp.int32),
+        jnp.tile(jnp.asarray([[0.0, 3.5, 0.0]]), (4, 1)),
+        uniform2(path_keys(8, jnp.arange(4, dtype=jnp.int32), 0), 0),
+        sphere_strategy="intersect",
+    )
+    np.testing.assert_array_equal(np.asarray(inside.le), 0.0)
 
 
 def test_culling_toggle():

@@ -202,3 +202,220 @@ def test_normal_matches_oracle():
         for px in range(W):
             expect[py, px] = oracle.normal_viz(px, py, 0)
     np.testing.assert_allclose(r.image, expect, atol=1e-4)
+
+
+# --- GI oracle (depth 2, cosine sampling) ----------------------------------
+
+def _duff_onb(n):
+    """Duff et al. branchless ONB, written from the published formulas."""
+    sign = 1.0 if n[2] >= 0.0 else -1.0
+    a = -1.0 / (sign + n[2])
+    c = n[0] * n[1] * a
+    t = np.array([1.0 + sign * n[0] * n[0] * a, sign * c, -sign * n[0]])
+    b = np.array([c, sign + n[1] * n[1] * a, -n[1]])
+    return t, b
+
+
+SITES_PER_BOUNCE = 1 << 16
+
+
+class GIOracle(Oracle):
+    """Scalar GI path tracer (reference: Src/integrator.h:198-291) at the
+    framework's exact (seed, pixel, sample, site) draws: RR site 0, BSDF
+    2-uniform site 1, lobe site 2, light i at site 16+i; cosine-weighted
+    Lambert sampling; NEE with Le only at depth 0."""
+
+    def gi(self, px, py, sample, max_depth=2):
+        key = path_key(self.seed, py * self.width + px, sample)
+        o, d = self.camera_ray(px, py, key)
+        radiance = np.zeros(3)
+        throughput = np.ones(3)
+        for depth in range(max_depth):
+            base = depth * SITES_PER_BOUNCE
+            t, i = self.intersect(o, d)
+            if i < 0:
+                break  # black background
+            # RR before the emitter check (Src/integrator.h:224-231)
+            u_rr = u1(key, base + 0)
+            if depth > 0:
+                rr = min(float(throughput.mean()), 1.0)
+                if u_rr >= rr:
+                    break
+                throughput = throughput / rr
+            oi = self.obj[i]
+            lrow = self.obj_light[oi]
+            ng = np.cross(self.e1[i], self.e2[i])
+            ng /= np.linalg.norm(ng)
+            pos = o + t * d
+            if lrow >= 0:
+                if depth == 0 and (-d) @ ng > 0:  # one-sided, depth-0 only
+                    radiance += throughput * self.al_le[lrow]
+                break
+            albedo = self.mat_albedo[self.obj_mat[oi]]
+            # NEE over all lights (site 16+i)
+            for li in range(self.n_lights):
+                ux, uy = u2(key, base + 16 + li)
+                p = self.al_v0[li] + ux * self.al_e1[li] + uy * self.al_e2[li]
+                dvec = p - pos
+                tmax = np.linalg.norm(dvec)
+                ddn = dvec @ self.al_ng[li]
+                if ddn >= 0:
+                    continue
+                pdf = tmax ** 3 / abs(ddn)
+                wi = dvec / tmax
+                # eval_bsdf: both directions above the shading normal
+                if (-d) @ ng <= 0 or wi @ ng <= 0:
+                    continue
+                so = pos + SHADOW_BIAS * ng
+                if not self.occluded(so, wi, tmax - SHADOW_BIAS):
+                    cos = max(0.0, ng @ wi)
+                    radiance += throughput * (albedo / np.pi) * self.al_le[li] * cos / pdf
+            # cosine-weighted bounce (site 1; lobe site 2 unused for Lambert)
+            bx, by = u2(key, base + 1)
+            u1(key, base + 2)  # lobe draw consumed
+            r = np.sqrt(bx)
+            phi = 2 * np.pi * by
+            wl = np.array([r * np.cos(phi), np.sqrt(max(0.0, 1.0 - bx)),
+                           r * np.sin(phi)])
+            tg, bt = _duff_onb(ng)  # frame from shading normal (== ng, flat)
+            wi = wl[0] * tg + wl[1] * ng + wl[2] * bt
+            throughput = throughput * albedo  # fr*cos/pdf = albedo
+            sign = -np.sign(d @ ng)
+            o = pos + sign * SHADOW_BIAS * ng
+            d = wi
+        return radiance
+
+
+def test_gi_depth2_matches_oracle():
+    """Depth-2 GI (NEE + RR + cosine bounce) against the independent scalar
+    oracle at matched seeds — promotes the GI golden from a regression gate
+    to a correctness gate (round-1 VERDICT item 7)."""
+    from xraytracer_tpu.integrators import make_path_integrator
+
+    tables = build_cornell_box().build()
+    statics = scene_statics(tables)
+    camk = cornell_camera()
+    cam = PinholeCamera.make(W / H, **camk)
+    r = render(
+        tables, cam,
+        make_path_integrator(tables, statics, 2, nee=True, cosine_sampling=True),
+        W, H, SPP, seed=0,
+    )
+    oracle = GIOracle(tables, camk, W, H, seed=0)
+    expect = np.zeros((H, W, 3))
+    for py in range(H):
+        for px in range(W):
+            for s in range(SPP):
+                expect[py, px] += oracle.gi(px, py, s)
+    expect /= SPP
+    np.testing.assert_allclose(r.image, expect, rtol=1e-3, atol=2e-4)
+
+
+# --- homogeneous VPT oracle -------------------------------------------------
+
+class VPTOracle(Oracle):
+    """Scalar VolumePathTracing (reference: Src/integrator.h:401-478) for an
+    ACHROMATIC homogeneous box medium + emissive quad, at the framework's
+    exact draws: per iteration, RR at site 0, medium wavelength/distance/
+    phase at sites 16/17/18; depth++ only on real scatter; no NEE."""
+
+    def __init__(self, tables, cam_kwargs, width, height, seed=0):
+        super().__init__(tables, cam_kwargs, width, height, seed=seed)
+        t = tables
+        self.box_min = np.asarray(t.box_min, np.float64)[0]
+        self.box_max = np.asarray(t.box_max, np.float64)[0]
+        self.sigma_a = np.asarray(t.med_sigma_a, np.float64)[0]
+        self.sigma_s = np.asarray(t.med_sigma_s, np.float64)[0]
+
+    def _box(self, o, d):
+        d_safe = np.where(np.abs(d) < 1e-12, 1e-12, d)
+        inv = 1.0 / d_safe
+        ta = (self.box_min - o) * inv
+        tb = (self.box_max - o) * inv
+        t0 = np.minimum(ta, tb).max()
+        t1 = np.maximum(ta, tb).min()
+        if t0 <= t1 and t1 > 0.0:
+            return max(t0, 0.0), t1, True
+        return np.inf, np.inf, False
+
+    def vpt(self, px, py, sample, max_depth=3):
+        from xraytracer_tpu.constants import RAY_EPS
+
+        key = path_key(self.seed, py * self.width + px, sample)
+        o, d = self.camera_ray(px, py, key)
+        radiance = np.zeros(3)
+        throughput = np.ones(3)
+        depth = 0
+        sig_t = self.sigma_a + self.sigma_s  # achromatic: all channels equal
+        for it in range(2 * max_depth + 2):
+            if depth >= max_depth:
+                break
+            base = it * SITES_PER_BOUNCE
+            tt, ti = self.intersect(o, d)          # light triangles
+            b0, b1, bhit = self._box(o, d)
+            if not (ti >= 0 or bhit):
+                break                               # miss -> black
+            tri_wins = ti >= 0 and tt < b0
+            u_rr = u1(key, base + 0)
+            if depth > 0:
+                rr = min(float(throughput.mean()), 1.0)
+                if u_rr >= rr:
+                    break
+                throughput = throughput / rr
+            if tri_wins:
+                lrow = self.obj_light[self.obj[ti]]
+                if lrow >= 0:
+                    ng = np.cross(self.e1[ti], self.e2[ti])
+                    ng /= np.linalg.norm(ng)
+                    if (-d) @ ng > 0:               # one-sided
+                        radiance += throughput * self.al_le[lrow]
+                break                               # emitter (or surface) ends
+            # medium sampling (achromatic; sites 16..18)
+            u1(key, base + 16)                     # wavelength draw consumed
+            u_dist = u1(key, base + 17)
+            sx, sy = u2(key, base + 18)
+            t = -np.log(max(1.0 - u_dist, 1e-38)) / sig_t[0]
+            dist = b1 - b0
+            if t > dist - RAY_EPS:                  # escape
+                o = o + (b1 + RAY_EPS) * d
+                continue
+            pos = o + (b0 + t) * d
+            # isotropic phase (g=0): cos = 2u-1, frame +Y = current dir
+            ct = 2.0 * sx - 1.0
+            st = np.sqrt(max(0.0, 1.0 - ct * ct))
+            phi = 2.0 * np.pi * sy
+            wl = np.array([np.cos(phi) * st, ct, np.sin(phi) * st])
+            tg, bt = _duff_onb(d)
+            wi = wl[0] * tg + wl[1] * d + wl[2] * bt
+            throughput = throughput * (self.sigma_s / sig_t)
+            o, d = pos, wi
+            depth += 1
+        return radiance
+
+
+def test_vpt_matches_oracle():
+    """Homogeneous achromatic VolumePathTracing against the scalar oracle at
+    matched seeds (round-1 VERDICT item 7's volume half)."""
+    from xraytracer_tpu.integrators import make_volume_integrator
+    from xraytracer_tpu.math import from_rows
+    from xraytracer_tpu.scene.presets import build_vpt_scene
+
+    tables = build_vpt_scene(variant="achromatic").build()
+    statics = scene_statics(tables)
+    c2w = from_rows(1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 5.0, 1)
+    fov = 2.0 * 180.0 * np.arctan(1.0 / 3.0) / np.pi
+    camk = dict(c2w=c2w, fov_deg=fov)
+    cam = PinholeCamera.make(W / H, **camk)
+    r = render(
+        tables, cam,
+        make_volume_integrator(tables, statics, 3, nee=False, max_steps=16),
+        W, H, SPP, seed=0,
+    )
+    oracle = VPTOracle(tables, camk, W, H, seed=0)
+    expect = np.zeros((H, W, 3))
+    for py in range(H):
+        for px in range(W):
+            for s in range(SPP):
+                expect[py, px] += oracle.vpt(px, py, s)
+    expect /= SPP
+    np.testing.assert_allclose(r.image, expect, rtol=1e-3, atol=2e-4)

@@ -129,3 +129,33 @@ def test_sample_channel_statistics():
     ch, _ = xs.sample_channel(vals, u)
     counts = np.bincount(np.asarray(ch), minlength=3) / 30000
     np.testing.assert_allclose(counts, [0.1, 0.3, 0.6], atol=0.01)
+
+
+def test_discrete_distribution_1d_general():
+    """General N-bin CDF container (Src/sampler.h:53-97): pmf, lower_bound
+    semantics incl. the x==0 bump, and statistical agreement."""
+    import numpy as np
+    from xraytracer_tpu.sampling.distribution import DiscreteDistribution1D
+
+    w = [1.0, 0.0, 3.0, 2.0, 4.0]
+    d = DiscreteDistribution1D(w)
+    np.testing.assert_allclose(np.asarray(d.pmf), np.asarray(w) / 10.0)
+    # u = 0 bumps to the first bin (reference x==0 bump, Src/sampler.h:88-92)
+    idx, p = d.sample(jnp.asarray([0.0]))
+    assert int(idx[0]) == 0
+    np.testing.assert_allclose(float(p[0]), 0.1, rtol=1e-6)
+    # u just above a cdf edge lands in the next nonempty bin
+    idx, _ = d.sample(jnp.asarray([0.1 + 1e-6]))
+    assert int(idx[0]) == 2  # bin 1 has zero mass
+    # u = 1 lands in the last bin
+    idx, _ = d.sample(jnp.asarray([1.0]))
+    assert int(idx[0]) == 4
+    # frequencies converge to the pmf
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random(200_000, dtype=np.float32))
+    idx, _ = d.sample(u)
+    freq = np.bincount(np.asarray(idx), minlength=5) / u.shape[0]
+    np.testing.assert_allclose(freq, np.asarray(w) / 10.0, atol=5e-3)
+    # all-zero weights: deliberate uniform fallback
+    d0 = DiscreteDistribution1D([0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(d0.pmf), 0.5)

@@ -153,3 +153,36 @@ def test_film_roundtrip(tmp_path):
     film.write_png(str(png), u8)
     data = png.read_bytes()
     assert data[:8] == b"\x89PNG\r\n\x1a\n" and b"IEND" in data
+
+
+def test_density_grid_ingest_end_to_end(tmp_path):
+    """The --density-grid data path (grid_convert .npz -> .npy -> CLI scene
+    build -> render) runs on the checked-in cloud fixture, without
+    pyopenvdb (round-1 VERDICT item 6)."""
+    import os
+
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.cli import build_scene
+    from xraytracer_tpu.config import get_preset
+    from xraytracer_tpu.integrators import make_volume_integrator
+    from xraytracer_tpu.renderer import render
+    from xraytracer_tpu.tools.grid_convert import main as convert_main
+
+    fixture = os.path.join(os.path.dirname(__file__), "data", "cloud_32.npz")
+    out = str(tmp_path / "cloud.npy")
+    convert_main([fixture, out])
+    npy = np.load(out)
+    assert npy.shape == (32, 32, 32) and npy.max() > 0.5
+
+    cfg = get_preset("nee", width=24, height=24, spp=2, max_depth=3)
+    tables, cam_kwargs = build_scene(cfg, density_grid=out)
+    # the fixture grid (not the procedural cloud) is live in the tables
+    np.testing.assert_allclose(
+        np.asarray(tables.grid_density), npy, rtol=1e-6
+    )
+    statics = scene_statics(tables)
+    cam = PinholeCamera.make(1.0, **cam_kwargs)
+    integ = make_volume_integrator(tables, statics, 3, nee=True, max_steps=64)
+    r = render(tables, cam, integ, 24, 24, 2, seed=0)
+    assert np.isfinite(r.image).all()
+    assert r.image.max() > 0.0  # the sphere light is visible through the cloud

@@ -64,7 +64,7 @@ def build_scene(cfg, density_grid=None):
     return tables, cam_kwargs
 
 
-def make_integrator(cfg, tables, statics):
+def make_integrator(cfg, tables, statics, with_stats=False):
     if cfg.integrator == "normal":
         return make_normal_integrator(tables)
     if cfg.integrator == "furnace":
@@ -76,29 +76,29 @@ def make_integrator(cfg, tables, statics):
     if cfg.integrator == "indirect":
         return make_path_integrator(
             tables, statics, cfg.max_depth, nee=False,
-            cosine_sampling=cfg.cosine_sampling,
+            cosine_sampling=cfg.cosine_sampling, with_stats=with_stats,
         )
     if cfg.integrator == "gi":
         return make_path_integrator(
             tables, statics, cfg.max_depth, nee=True,
-            cosine_sampling=cfg.cosine_sampling,
+            cosine_sampling=cfg.cosine_sampling, with_stats=with_stats,
         )
     if cfg.integrator == "gi_mis":
         return make_path_integrator(
             tables, statics, cfg.max_depth, mis=True,
-            cosine_sampling=cfg.cosine_sampling,
+            cosine_sampling=cfg.cosine_sampling, with_stats=with_stats,
         )
     if cfg.integrator == "whitted":
         return make_whitted_integrator(tables, statics, cfg.max_depth)
     if cfg.integrator == "vpt":
         return make_volume_integrator(
             tables, statics, cfg.max_depth, nee=False,
-            max_steps=cfg.max_steps or None,
+            max_steps=cfg.max_steps or None, with_stats=with_stats,
         )
     if cfg.integrator == "vpt_nee":
         return make_volume_integrator(
             tables, statics, cfg.max_depth, nee=True,
-            max_steps=cfg.max_steps or None,
+            max_steps=cfg.max_steps or None, with_stats=with_stats,
         )
     raise ValueError(f"unknown integrator {cfg.integrator!r}")
 
@@ -133,6 +133,9 @@ def main(argv=None):
                    help=".npy dense density grid for the volume/nee presets")
     p.add_argument("--profile", default=None,
                    help="directory for a jax.profiler trace of the render")
+    p.add_argument("--stats", action="store_true",
+                   help="collect + print per-bounce ray/occupancy/RR metrics"
+                        " (SURVEY.md §5; path and volume integrators)")
     p.add_argument("-o", "--output", default=None)
     args = p.parse_args(argv)
 
@@ -148,7 +151,7 @@ def main(argv=None):
     tables, cam_kwargs = build_scene(cfg, density_grid=args.density_grid)
     statics = scene_statics(tables)
     camera = PinholeCamera.make(cfg.width / cfg.height, **cam_kwargs)
-    integrate = make_integrator(cfg, tables, statics)
+    integrate = make_integrator(cfg, tables, statics, with_stats=args.stats)
 
     sharding = None
     if cfg.shard:
@@ -188,6 +191,25 @@ def main(argv=None):
         f"({result.samples_per_sec/1e6:.2f} Msamples/s, "
         f"{result.n_rejected} rejected)"
     )
+    if result.stats is not None:
+        st = result.stats
+        n_lanes = cfg.width * cfg.height * cfg.spp
+        print(f"[stats] total rays traced: {result.total_rays}"
+              f" ({result.total_rays / max(result.seconds, 1e-9) / 1e6:.2f}"
+              " Mrays/s incl. shadow)")
+        rays = st["rays"]
+        for b in range(len(rays)):
+            parts = [f"depth {b}: rays={int(rays[b])}",
+                     f"occupancy={int(rays[b]) / max(n_lanes, 1):.3f}"]
+            if "shadow_rays" in st:
+                parts.append(f"shadow={int(st['shadow_rays'][b])}")
+            if "scattered" in st:
+                parts.append(f"scattered={int(st['scattered'][b])}")
+            rr = int(st["rr_killed"][b])
+            survivors = int(rays[b]) - rr
+            parts.append(f"rr_survival={survivors / max(int(rays[b]), 1):.3f}")
+            parts.append(f"active_out={int(st['active_out'][b])}")
+            print("[stats] " + " ".join(parts))
     write_image(cfg.output, result.image, gamma=cfg.gamma)
     print(f"[render] wrote {cfg.output} (total {time.perf_counter()-t0:.2f}s)")
     return 0

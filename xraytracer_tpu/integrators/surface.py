@@ -68,10 +68,17 @@ def make_furnace_integrator(scene, tri_fn=None, cosine_sampling=False):
 
 def _nee_area_lights(
     scene, statics, hit, d_in, throughput, keys, site0, tri_fn,
-    mis=False, cosine_sampling=False,
+    mis=False, cosine_sampling=False, nee_mode="all",
 ):
-    """Per-vertex NEE summed over ALL area lights (reference:
-    Src/integrator.h:93-109 and 250-269: no light selection, no MIS).
+    """Per-vertex NEE over area lights.
+
+    ``nee_mode="all"`` (default) sums over ALL lights like the reference
+    (Src/integrator.h:93-109 and 250-269: no light selection, no MIS) —
+    compiled cost O(n_lights), fine for reference scenes (<= 2 lights).
+    ``nee_mode="one"`` draws a single uniformly-picked light per vertex
+    (contribution / pick probability — the volume NEE's strategy,
+    Src/integrator.h:586-602) so many-light scenes compile O(1) sweeps per
+    bounce; same expectation, higher per-spp variance.
 
     cos is clamped against the geometric normal and shadow rays start at
     position + 0.01 * ng with range tmax - 0.01, exactly as the reference.
@@ -80,11 +87,27 @@ def _nee_area_lights(
     """
     from ..materials import bsdf_pdf_direct
 
+    n_lights = statics["n_area_lights"]
     direct = jnp.zeros_like(throughput)
-    for i in range(statics["n_area_lights"]):
-        lidx = jnp.full(hit.obj.shape, i, jnp.int32)
-        u2 = uniform2(keys, site0 + i)
+    if nee_mode == "one" and n_lights > 0:
+        from ..lights import pick_uniform_light
+
+        u_pick = uniform1(keys, site0 + 0)
+        lidx, pick_prob = pick_uniform_light(n_lights, u_pick)
+        u2 = uniform2(keys, site0 + 1)
         ls = sample_area_light(scene, lidx, hit.position, u2)
+        ls = ls._replace(pdf=ls.pdf * pick_prob)
+        light_iter = [(lidx, ls)]
+    else:
+        light_iter = None
+
+    for i in range(n_lights if light_iter is None else 1):
+        if light_iter is not None:
+            lidx, ls = light_iter[i]
+        else:
+            lidx = jnp.full(hit.obj.shape, i, jnp.int32)
+            u2 = uniform2(keys, site0 + i)
+            ls = sample_area_light(scene, lidx, hit.position, u2)
         ok = ls.pdf > 0.0
         srays = Rays(o=hit.position + hit.ng * SHADOW_BIAS, d=ls.wi)
         vis = ~occluded(scene, srays, ls.t_max - SHADOW_BIAS, tri_fn=tri_fn)
@@ -124,7 +147,8 @@ def make_direct_integrator(scene, statics, tri_fn=None):
 
 def make_path_integrator(
     scene, statics, max_depth, nee=True, le_depth0_only=None,
-    cosine_sampling=False, tri_fn=None, mis=False,
+    cosine_sampling=False, tri_fn=None, mis=False, with_stats=False,
+    nee_mode="all",
 ):
     """Indirect (``nee=False``) and GI (``nee=True``) path tracing
     (reference: Src/integrator.h:122-190 and 198-291).
@@ -141,6 +165,12 @@ def make_path_integrator(
     depth, weighted against the light pdf for the sampled direction; light
     samples are weighted against the BSDF pdf. Lower variance than either
     strategy alone, unbiased.
+
+    ``with_stats`` (SURVEY.md §5 metrics): ``integrate`` returns
+    ``(radiance, stats)`` where stats maps each per-bounce counter
+    ("rays", "shadow_rays", "rr_killed", "emitter_hits", "active_out")
+    to a ``(max_depth,)`` int32 array summed over the wavefront — the
+    renderer accumulates these across spp into ``RenderResult.stats``.
     """
     if mis:
         nee = True
@@ -152,7 +182,8 @@ def make_path_integrator(
         n = rays.o.shape[0]
 
         def bounce(depth, state):
-            radiance, throughput, o, d, active, prev_pdf, prev_delta = state
+            radiance, throughput, o, d, active, prev_pdf, prev_delta, stats = state
+            n_in = jnp.sum(active.astype(jnp.int32)) if with_stats else None
             site = depth * SITES_PER_BOUNCE
             cur = Rays(o=o, d=d)
             hit = intersect_scene(scene, cur, tri_fn=tri_fn)
@@ -164,7 +195,8 @@ def make_path_integrator(
             rr_prob = jnp.minimum(jnp.mean(throughput, axis=-1), 1.0)
             u_rr = uniform1(keys, site + _SITE_RR)
             do_rr = depth > 0
-            killed = do_rr & (u_rr >= rr_prob)
+            # active-masked so the stats counter only counts real kills
+            killed = active & do_rr & (u_rr >= rr_prob)
             active = active & ~killed
             throughput = jnp.where(
                 (do_rr & active)[:, None],
@@ -197,11 +229,13 @@ def make_path_integrator(
             active = active & ~is_emitter
 
             # NEE (Src/integrator.h:250-269)
+            n_nee = jnp.sum(active.astype(jnp.int32)) if with_stats else None
             if nee and statics["n_area_lights"] > 0:
                 direct = _nee_area_lights(
                     scene, statics, hit, d, throughput, keys,
                     site + _SITE_LIGHT0, tri_fn,
                     mis=mis, cosine_sampling=cosine_sampling,
+                    nee_mode=nee_mode,
                 )
                 radiance = radiance + jnp.where(
                     active[:, None], throughput * direct, 0.0
@@ -230,7 +264,19 @@ def make_path_integrator(
             d = jnp.where(active[:, None], wi, d)
             prev_pdf = jnp.where(active, bs.pdf, prev_pdf)
             prev_delta = jnp.where(active, bs.is_delta, prev_delta)
-            return radiance, throughput, o, d, active, prev_pdf, prev_delta
+            if with_stats:
+                n_lights = statics["n_area_lights"] if nee else 0
+                if nee_mode == "one" and n_lights > 1:
+                    n_lights = 1  # one shadow ray per vertex in this mode
+                row = jnp.stack([
+                    n_in,
+                    n_nee * n_lights,
+                    jnp.sum(killed.astype(jnp.int32)),
+                    jnp.sum(is_emitter.astype(jnp.int32)),
+                    jnp.sum(active.astype(jnp.int32)),
+                ])
+                stats = stats.at[depth].set(row)
+            return radiance, throughput, o, d, active, prev_pdf, prev_delta, stats
 
         state = (
             jnp.zeros((n, 3)),
@@ -240,6 +286,7 @@ def make_path_integrator(
             jnp.ones((n,), bool),
             jnp.ones((n,)),
             jnp.zeros((n,), bool),
+            jnp.zeros((max_depth, 5), jnp.int32),
         )
         # unroll small depths: straight-line code avoids the while-loop's
         # per-iteration carry copies and fuses across bounces (measurably
@@ -247,9 +294,13 @@ def make_path_integrator(
         if max_depth <= 8:
             for depth in range(max_depth):
                 state = bounce(depth, state)
-            radiance = state[0]
         else:
-            radiance, *_ = lax.fori_loop(0, max_depth, bounce, state)
+            state = lax.fori_loop(0, max_depth, bounce, state)
+        radiance, stats = state[0], state[-1]
+        if with_stats:
+            keys_ = ("rays", "shadow_rays", "rr_killed", "emitter_hits",
+                     "active_out")
+            return radiance, {k: stats[:, i] for i, k in enumerate(keys_)}
         return radiance
 
     return integrate

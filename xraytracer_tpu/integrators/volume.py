@@ -56,7 +56,7 @@ def _nee_site_layout(max_steps):
 
 def make_volume_integrator(
     scene, statics, max_depth, nee=False, max_steps=None, tri_fn=None,
-    n_iterations=None, differentiable=False,
+    n_iterations=None, differentiable=False, with_stats=False,
 ):
     """Factory for both volume integrators (``nee`` selects the variant).
 
@@ -65,6 +65,11 @@ def make_volume_integrator(
     sigma_a/sigma_s/Le/grid_density; the discrete tracking decisions are
     naturally detached through their boolean masks). Costs the early-exit
     optimization, so keep ``max_steps`` tight.
+
+    ``with_stats`` (SURVEY.md §5 metrics): ``integrate`` returns
+    ``(radiance, stats)`` with per-iteration int32 counters ("rays",
+    "rr_killed", "emitter_hits", "scattered", "active_out"), each of shape
+    ``(n_iterations,)``, summed over the wavefront.
     """
     if max_steps is None:
         from ..media import default_max_steps
@@ -84,12 +89,13 @@ def make_volume_integrator(
         n = rays.o.shape[0]
 
         def iteration(it, state):
-            radiance, throughput, o, d, depth, active = state
+            radiance, throughput, o, d, depth, active, stats = state
             site = it * SITES_PER_BOUNCE
             cur = Rays(o=o, d=d)
 
             # loop condition (Src/integrator.h:412,498)
             active = active & (depth < max_depth)
+            n_in = jnp.sum(active.astype(jnp.int32)) if with_stats else None
 
             hit = intersect_scene(scene, cur, tri_fn=tri_fn)
             # miss -> black background (only depth != 0 in the reference,
@@ -170,7 +176,16 @@ def make_volume_integrator(
             # loop forever (Src/integrator.h:449 never advances); kill.
             active = active & has_med
             active = active & jnp.any(throughput > 0.0, axis=-1)
-            return radiance, throughput, o, d, depth, active
+            if with_stats:
+                row = jnp.stack([
+                    n_in,
+                    jnp.sum(killed.astype(jnp.int32)),
+                    jnp.sum(is_emitter.astype(jnp.int32)),
+                    jnp.sum(scattered.astype(jnp.int32)),
+                    jnp.sum(active.astype(jnp.int32)),
+                ])
+                stats = stats.at[it].set(row)
+            return radiance, throughput, o, d, depth, active, stats
 
         state = (
             jnp.zeros((n, 3)),
@@ -179,15 +194,20 @@ def make_volume_integrator(
             rays.d,
             jnp.zeros((n,), jnp.int32),
             jnp.ones((n,), bool),
+            jnp.zeros((n_iterations, 5), jnp.int32),
         )
         # unroll short loops: straight-line code runs measurably faster than
         # device-side while loops on the TPU toolchain (see surface.py)
         if n_iterations <= 24:
             for it in range(n_iterations):
                 state = iteration(it, state)
-            radiance = state[0]
         else:
-            radiance, *_ = lax.fori_loop(0, n_iterations, iteration, state)
+            state = lax.fori_loop(0, n_iterations, iteration, state)
+        radiance, stats = state[0], state[-1]
+        if with_stats:
+            keys_ = ("rays", "rr_killed", "emitter_hits", "scattered",
+                     "active_out")
+            return radiance, {k: stats[:, i] for i, k in enumerate(keys_)}
         return radiance
 
     return integrate

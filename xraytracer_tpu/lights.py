@@ -45,13 +45,20 @@ def sample_area_light(
     ``light_idx``: (N,) int32 rows into the area-light table; ``position``:
     (N, 3) shading points; ``u2``: (N, 2) uniforms.
 
-    ``sphere_strategy``: "cone" (the reference's default #else branch) or
-    "area" (the reference's AREA_SAMPLING compile toggle,
-    Src/light.h:131-136,197-200 — uniform point on the sphere surface).
-    Deliberate fix (SURVEY.md §2.4): the reference's AREA_SAMPLING pdf
-    reuses the triangle form 2t^3/|d.n| which is not energy-consistent for
-    a sphere; here the correct solid-angle conversion of the uniform-area
-    pdf is used: t^3 / (4 pi r^2 |d.n|).
+    ``sphere_strategy`` selects among the reference's three compile-time
+    SphereLight strategies (Src/light.h:129-198):
+      * "cone" — the default #else branch: analytic point in the subtended
+        cone, pdf = 1 / (2 pi (1 - cos_theta_max));
+      * "intersect" — the INTERSECT_METHOD toggle: uniform cone DIRECTION,
+        then an analytic ray-sphere intersection finds the point (misses
+        fall back to the closest-approach projection, interior points
+        return Le = 0, Src/light.h:136-156); same cone pdf;
+      * "area" — the AREA_SAMPLING toggle (Src/light.h:131-136,197-200 —
+        uniform point on the sphere surface). Deliberate fix (SURVEY.md
+        §2.4): the reference's AREA_SAMPLING pdf reuses the triangle form
+        2t^3/|d.n| which is not energy-consistent for a sphere; here the
+        correct solid-angle conversion of the uniform-area pdf is used:
+        t^3 / (4 pi r^2 |d.n|).
     """
     li = jnp.maximum(light_idx, 0)
     ltype = jnp.where(light_idx >= 0, scene.al_type[li], -1)
@@ -91,6 +98,59 @@ def sample_area_light(
         area = 4.0 * jnp.pi * radius * radius
         denom_s = jnp.abs(d_dot_n) * jnp.maximum(area, 1e-12)
         pdf_sph = t_sph ** 3 / jnp.where(denom_s == 0.0, 1.0, denom_s)
+
+        is_sph = ltype == AL_SPHERE
+        d = jnp.where(is_sph[:, None], d_sph, d_flat)
+        t_max = jnp.where(is_sph, t_sph, t_flat)
+        pdf = jnp.where(is_sph, pdf_sph, pdf_flat)
+        front = jnp.where(is_sph, front_sph, front_flat) & (ltype >= 0)
+        safe_t = jnp.where(t_max == 0.0, 1.0, t_max)
+        wi = d / safe_t[:, None]
+        le = jnp.where(front[:, None], le, 0.0)
+        return LightSample(wi=wi, t_max=t_max, pdf=pdf, le=le)
+
+    if sphere_strategy == "intersect":
+        # uniform cone direction + analytic sphere intersection
+        # (Src/light.h:136-156, the INTERSECT_METHOD toggle)
+        dz_vec = center - position
+        dz_len2 = dot(dz_vec, dz_vec)
+        dz_len = jnp.sqrt(dz_len2)
+        safe_len = jnp.where(dz_len == 0.0, 1.0, dz_len)
+        dz = dz_vec / safe_len[:, None]          # TOWARD the sphere here
+        dx, dy = orthonormal_basis(dz)
+        safe_len2 = jnp.where(dz_len2 == 0.0, 1.0, dz_len2)
+        sin_tm2 = radius * radius / safe_len2
+        cos_tm = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_tm2))
+        # UniformSampleCone (PBRT): cos_t lerp(1 -> cos_tm), phi uniform
+        cos_t = (1.0 - u) + u * cos_tm
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        phi = PI_MUL_2 * v
+        sdir = (
+            (jnp.cos(phi) * sin_t)[:, None] * dx
+            + (jnp.sin(phi) * sin_t)[:, None] * dy
+            + cos_t[:, None] * dz
+        )
+        # analytic nearest-positive ray-sphere t (stable q-form not needed
+        # for the light's own geometry scale); miss -> closest approach
+        # projection, exactly the reference fallback (Src/light.h:150-151)
+        oc = position - center
+        b = dot(oc, sdir)
+        c = dot(oc, oc) - radius * radius
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_hit = jnp.where(-b - sq > 0.0, -b - sq, -b + sq)
+        miss = (disc < 0.0) | (t_hit <= 0.0)
+        t_sph = jnp.where(miss, dot(dz_vec, sdir), t_hit)
+        p_sph = position + sdir * t_sph[:, None]
+        # deliberate fix: the reference tests length(p - center) < radius
+        # (Src/light.h:155), but p lies ON the sphere after a hit, so that
+        # comparison is a float coin flip; its stated intent ("check for x
+        # inside the sphere") is the SHADING point, tested here directly
+        inside = dz_len < radius
+        n_sph = normalize(p_sph - center)
+        d_sph = p_sph - position
+        front_sph = (dot(d_sph, n_sph) < 0.0) & ~inside
+        pdf_sph = 1.0 / (PI_MUL_2 * jnp.maximum(1.0 - cos_tm, 1e-12))
 
         is_sph = ltype == AL_SPHERE
         d = jnp.where(is_sph[:, None], d_sph, d_flat)

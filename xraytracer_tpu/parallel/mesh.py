@@ -71,7 +71,7 @@ def shard_map_render(
     def local(pix_ids, pix_xy):
         def body(i, carry):
             acc, rej = carry
-            rad, bad = sample_once(pix_ids, pix_xy, i)
+            rad, bad, _stats = sample_once(pix_ids, pix_xy, i)
             return acc + rad, rej + bad
 
         n = pix_ids.shape[0]
@@ -104,7 +104,7 @@ def spp_parallel_render(
         def body(i, carry):
             acc, rej = carry
             s = k + i * n_dev
-            rad, bad = sample_once(pix_ids, pix_xy, s)
+            rad, bad, _stats = sample_once(pix_ids, pix_xy, s)
             return acc + rad, rej + bad
 
         n_local = spp // n_dev + jnp.int32(k < (spp % n_dev))

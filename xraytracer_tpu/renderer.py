@@ -59,12 +59,14 @@ def make_sample_fn(scene, camera, integrate, width, height, seed):
         u = uniform2(keys, CAMERA_SITE)
         uv = (pixel_xy + u) / wh
         rays = camera.sample_rays(uv)
-        rad = integrate(rays, keys)
+        out = integrate(rays, keys)
+        # with_stats integrators return (radiance, per-bounce counter dict)
+        rad, stats = out if isinstance(out, tuple) else (out, None)
         # rejection (Src/renderer.cpp:56-73): any nan/inf/negative channel
         # voids the whole sample
         bad = jnp.any(~jnp.isfinite(rad) | (rad < 0.0), axis=-1)
         rad = jnp.where(bad[:, None], 0.0, rad)
-        return rad, jnp.sum(bad.astype(jnp.int32))
+        return rad, jnp.sum(bad.astype(jnp.int32)), stats
 
     return sample_once
 
@@ -82,13 +84,18 @@ def make_chunk_fn(sample_once, donate=True):
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(acc, nrej, pixel_ids, pixel_xy, s):
-        rad, bad = sample_once(pixel_ids, pixel_xy, s)
-        return acc + rad, nrej + bad
+        rad, bad, stats = sample_once(pixel_ids, pixel_xy, s)
+        return acc + rad, nrej + bad, stats
 
-    def run_chunk(acc, nrej, pixel_ids, pixel_xy, s0, n):
+    def run_chunk(acc, nrej, pixel_ids, pixel_xy, s0, n, stats_acc=None):
         for i in range(n):
-            acc, nrej = step(acc, nrej, pixel_ids, pixel_xy, s0 + i)
-        return acc, nrej
+            acc, nrej, stats = step(acc, nrej, pixel_ids, pixel_xy, s0 + i)
+            if stats is not None:
+                stats_acc = (
+                    stats if stats_acc is None
+                    else jax.tree.map(lambda a, b: a + b, stats_acc, stats)
+                )
+        return acc, nrej, stats_acc
 
     return run_chunk
 
@@ -100,6 +107,21 @@ class RenderResult:
     n_rejected: int
     seconds: float
     samples_per_sec: float  # primary camera samples (pixels*spp) per second
+    # per-bounce counters summed over the whole render (SURVEY.md §5),
+    # present when the integrator was built with ``with_stats=True``:
+    # e.g. {"rays": (D,), "shadow_rays": (D,), "rr_killed": (D,), ...}
+    stats: dict | None = None
+
+    @property
+    def total_rays(self):
+        """All rays traced (primary + bounce + shadow); falls back to
+        primary samples when stats were not collected."""
+        if self.stats is None:
+            return None
+        t = int(np.asarray(self.stats["rays"]).sum())
+        if "shadow_rays" in self.stats:
+            t += int(np.asarray(self.stats["shadow_rays"]).sum())
+        return t
 
 
 class Accumulator:
@@ -185,12 +207,14 @@ class WavefrontRenderer:
             acc = jax.device_put(acc, self.sharding)
         nrej = jnp.asarray(acc_state.n_rejected, jnp.int32)
         spp_resumed = acc_state.spp_done
+        stats_acc = None
         t0 = time.perf_counter()
         s = acc_state.spp_done
         while s < spp:
             n = min(spp_chunk, spp - s)
-            acc, nrej = self.run_chunk(
-                acc, nrej, self.pixel_ids, self.pixel_xy, s, n
+            acc, nrej, stats_acc = self.run_chunk(
+                acc, nrej, self.pixel_ids, self.pixel_xy, s, n,
+                stats_acc=stats_acc,
             )
             s += n
             acc_state.acc = acc[:self.n_pix]
@@ -213,6 +237,10 @@ class WavefrontRenderer:
             n_rejected=int(nrej),
             seconds=dt,
             samples_per_sec=n_samples / max(dt, 1e-9),
+            stats=(
+                None if stats_acc is None
+                else {k: np.asarray(v) for k, v in stats_acc.items()}
+            ),
         )
 
 

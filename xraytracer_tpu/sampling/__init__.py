@@ -17,7 +17,7 @@ from .warps import (
     hg_phase,
     hg_sample_direction,
 )
-from .distribution import channel_pmf, sample_channel
+from .distribution import DiscreteDistribution1D, channel_pmf, sample_channel
 
 __all__ = [
     "SITES_PER_BOUNCE",
@@ -35,6 +35,7 @@ __all__ = [
     "hg_sample_cos_theta",
     "hg_phase",
     "hg_sample_direction",
+    "DiscreteDistribution1D",
     "channel_pmf",
     "sample_channel",
 ]

@@ -37,3 +37,42 @@ def sample_channel(values, u):
     )
     x = jnp.maximum(x, 1)
     return x - 1, pmf
+
+
+class DiscreteDistribution1D:
+    """General N-bin empirical CDF container — the full
+    ``DiscreteEmpiricalDistribution1D`` (reference: Src/sampler.h:53-97),
+    not just the 3-channel spectral specialization above. Built once from
+    concrete weights (host side, like the reference constructor); ``sample``
+    is branch-free and batched, ready for many-light selection.
+
+    CDF layout matches the reference: cdf[0] = 0, cdf[i+1] = cdf[i] + p_i
+    (Src/sampler.h:60-70), sampling is ``lower_bound(cdf, u)`` with the
+    x == 0 bump (Src/sampler.h:83-94), and ``pmf(i) = values[i] / sum``.
+    """
+
+    def __init__(self, values):
+        import numpy as np
+
+        v = np.asarray(values, np.float32)
+        assert v.ndim == 1 and v.size >= 1
+        total = float(v.sum())
+        if total <= 0.0:  # deliberate fix: uniform instead of NaN
+            v = np.ones_like(v)
+            total = float(v.size)
+        self.pmf = jnp.asarray(v / total)
+        cdf = np.concatenate([[0.0], np.cumsum(v / total)])
+        cdf[-1] = 1.0  # exact, like the reference's normalization
+        self.cdf = jnp.asarray(cdf, jnp.float32)
+        self.n = int(v.size)
+
+    def sample(self, u):
+        """Inverse-CDF sample: ``u`` (...,) uniforms -> (index (...,) int32,
+        pmf_of_index (...,))."""
+        # lower_bound: first cdf entry >= u == count of entries < u; the
+        # reference bumps x == 0 to 1 and returns x - 1 (Src/sampler.h:88-92)
+        x = jnp.sum(
+            (self.cdf[None, :] < u[..., None]).astype(jnp.int32), axis=-1
+        )
+        idx = jnp.clip(jnp.maximum(x, 1) - 1, 0, self.n - 1)
+        return idx, self.pmf[idx]

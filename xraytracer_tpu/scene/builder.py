@@ -364,6 +364,32 @@ class SceneBuilder:
             ][:, :, np.minimum(np.arange(gd.shape[2]) + dz, gd.shape[2] - 1)]
             packed[..., d] = sl
         packed = packed.reshape(-1, 8)
+        # block-max supergrid for piecewise-majorant tracking (media.py):
+        # <= 8 blocks per axis; block (bx,by,bz) bounds every trilinear
+        # value with continuous index in [b*B, (b+1)*B] -> max over the
+        # corner range [b*B, min((b+1)*B, n-1)] inclusive (one-ring overlap)
+        super_nb = np.minimum(
+            np.maximum(np.asarray(gd.shape, np.int64) - 1, 1), 8
+        ).astype(np.int32)
+        super_bs = (
+            np.maximum(np.asarray(gd.shape, f32) - 1.0, 1.0) / super_nb
+        ).astype(f32)
+        sg = np.zeros(tuple(super_nb), f32)
+        for bx in range(super_nb[0]):
+            x0 = int(np.floor(bx * super_bs[0]))
+            x1 = min(int(np.ceil((bx + 1) * super_bs[0])), gd.shape[0] - 1)
+            for by in range(super_nb[1]):
+                y0 = int(np.floor(by * super_bs[1]))
+                y1 = min(int(np.ceil((by + 1) * super_bs[1])), gd.shape[1] - 1)
+                for bz in range(super_nb[2]):
+                    z0 = int(np.floor(bz * super_bs[2]))
+                    z1 = min(
+                        int(np.ceil((bz + 1) * super_bs[2])), gd.shape[2] - 1
+                    )
+                    sg[bx, by, bz] = gd[
+                        x0:x1 + 1, y0:y1 + 1, z0:z1 + 1
+                    ].max(initial=0.0)
+        super_flat = sg.reshape(-1)
 
         def arr(x, dtype=f32):
             return jnp.asarray(np.asarray(x, dtype))
@@ -445,6 +471,9 @@ class SceneBuilder:
             grid_min=arr(grid[1]),
             grid_max=arr(grid[2]),
             grid_packed=arr(packed),
+            grid_super=arr(super_flat),
+            grid_super_nb=arr(super_nb, np.int32),
+            grid_super_bsize=arr(super_bs),
         )
 
 

@@ -119,6 +119,15 @@ class SceneTables(NamedTuple):
     # holds the 8 cell corners (edge-clamped), so a trilinear lookup is ONE
     # row gather instead of eight scalar gathers (TPU gathers serialize)
     grid_packed: jnp.ndarray   # (Nx*Ny*Nz, 8)
+    # block-max supergrid for piecewise-majorant tracking (media.py): block
+    # (bx,by,bz) holds the max DENSITY over every trilinear lookup whose
+    # continuous index falls in [b*B, (b+1)*B] (one-ring corner overlap, so
+    # it is a true upper bound). Flat x-major; up to 8 blocks per axis so
+    # the flat table stays one-hot-matmul sized (<= 512 rows). Derived
+    # buffer (like grid_packed): stale after grid_density edits.
+    grid_super: jnp.ndarray       # (nbx*nby*nbz,) block max density
+    grid_super_nb: jnp.ndarray    # (3,) int32 block counts per axis
+    grid_super_bsize: jnp.ndarray # (3,) block edge length in index units
 
     @property
     def n_area_lights(self):
