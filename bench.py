@@ -121,9 +121,7 @@ def _bench_het_tracking():
     t1v = jnp.full((n,), 560.0)
     tp = jnp.ones((n, 3))
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=0)
+    @jax.jit
     def run(seed):
         keys = path_keys(seed, jnp.arange(n, dtype=jnp.int32), 0)
         ms = sample_medium(

@@ -79,8 +79,8 @@ def test_load_obj_into_builder(tmp_path):
     assert int(s.obj_mat[objs[1]]) == -1
     # 3 real triangles, padded to TRI_PAD multiple with obj -1 sentinels
     assert int((s.tri_obj >= 0).sum()) == 3
-    # padded to a 32-multiple (<=128) or 128-multiple (larger scenes)
-    assert s.tri_v0.shape[0] % 32 == 0
+    # padded to an 8-multiple (<=128) or 128-multiple (larger scenes)
+    assert s.tri_v0.shape[0] % 8 == 0
 
 
 def test_cornell_box_tables():

@@ -509,11 +509,29 @@ def occluded(scene, rays: Rays, t_max, tri_fn=None):
     block. Medium boxes never block (deliberate fix, see module docstring).
     Returns (N,) bool.
     """
-    tri_fn = _resolve_tri_fn(tri_fn, anyhit=True)
     tri_light = scene.obj_light[jnp.maximum(scene.tri_obj, 0)]
     tri_blocks = (scene.tri_obj >= 0) & (tri_light < 0)
-    tt, ti, _, _ = tri_fn(rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, tri_blocks)
-    blocked = tt < t_max
+    use_bool_kernel = False
+    if tri_fn is None:
+        try:
+            use_bool_kernel = jax.devices()[0].platform == "tpu"
+        except Exception:
+            use_bool_kernel = False
+    if use_bool_kernel:
+        # boolean Pallas sweep: the t_max compare happens in-kernel (no
+        # nearest-hit ordering, no division) — the shadow path only needs
+        # any-hit-closer-than-t_max
+        from .pallas_kernels import occluded_triangles_pallas
+
+        blocked = occluded_triangles_pallas(
+            rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, tri_blocks, t_max
+        )
+    else:
+        tri_fn = _resolve_tri_fn(tri_fn, anyhit=True)
+        tt, ti, _, _ = tri_fn(
+            rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, tri_blocks
+        )
+        blocked = tt < t_max
 
     if _table_nonempty(scene.sph_obj):
         sph_light = scene.obj_light[jnp.maximum(scene.sph_obj, 0)]

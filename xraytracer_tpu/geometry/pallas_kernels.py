@@ -194,6 +194,108 @@ def _sweep_kernel_impl(
             rec_out[r, :, :] = brec
 
 
+def _anyhit_kernel(f_ref, g_ref, tm_ref, o_ref, *, n_chunks, tc):
+    """Boolean shadow sweep: ``blocked = any(valid MT hit with t < t_max)``.
+
+    Much leaner than the nearest-hit kernel — no division, no key packing,
+    no winner extraction: the in-kernel compare ``t_num*sgn < t_max*|det|``
+    is exact (division-free) and the only output is one int32 per ray.
+    Replaces ``Mesh::occluded`` (reference: Src/primitive.cpp:118-138).
+    """
+    for r in range(RAY_ROWS):
+        f = f_ref[:, r * RAY_LANES:(r + 1) * RAY_LANES]   # (10, 512)
+        tm = tm_ref[r:r + 1, :]                            # (1, 512)
+
+        def chunk(c, acc):
+            g = g_ref[c]                                   # (4*tc, 10)
+            prod = jax.lax.dot_general(
+                g, f,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                              # (4*tc, 512)
+            det = prod[0:tc]
+            u_num = prod[tc:2 * tc]
+            v_num = prod[2 * tc:3 * tc]
+            t_num = prod[3 * tc:4 * tc]
+            sgn = jnp.sign(det)
+            absd = jnp.abs(det)
+            u_s = u_num * sgn
+            v_s = v_num * sgn
+            t_s = t_num * sgn
+            ok = (
+                (absd >= K_EPS)
+                & (u_s >= 0.0)
+                & (v_s >= 0.0)
+                & (u_s + v_s <= absd)
+                & (t_s > K_EPS * absd)
+                & (t_s < tm * absd)
+            )
+            hit = jnp.max(ok.astype(jnp.int32), axis=0, keepdims=True)
+            return jnp.maximum(acc, hit)
+
+        acc = lax.fori_loop(
+            0, n_chunks, chunk, jnp.zeros((1, RAY_LANES), jnp.int32)
+        )
+        o_ref[r, :] = acc[0]
+
+
+def occluded_triangles_pallas(
+    rays: Rays, v0, e1, e2, valid, t_max, interpret=False
+):
+    """Fused boolean occlusion sweep. Returns (N,) bool ``blocked``.
+
+    The t_max compare happens in-kernel (exact, division-free), so there is
+    no quantized-t decode and no epilogue compare. Falls back to the XLA
+    sweep when the table shape doesn't fit the kernel.
+    """
+    t_total = v0.shape[0]
+    tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
+    if t_total == 0 or t_total % tc or tc % 8:
+        from .intersect import intersect_triangles
+
+        tt, _, _, _ = intersect_triangles(rays, v0, e1, e2, valid)
+        return tt < t_max
+    n = rays.o.shape[0]
+    center = jnp.mean(v0, axis=0)
+    g_chunks = _build_g_chunks(v0 - center, e1, e2, valid, tc)
+    n_chunks = t_total // tc
+
+    from .intersect import _ray_features_t
+
+    f = _ray_features_t(rays.o - center, rays.d)
+    n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if n_pad != n:
+        f = jnp.pad(f, ((0, 0), (0, n_pad - n)))
+        tm = jnp.pad(tm, (0, n_pad - n))
+    n_tiles = n_pad // RAY_TILE
+    tm = tm.reshape(n_tiles * RAY_ROWS, RAY_LANES)
+    kernel = partial(_anyhit_kernel, n_chunks=n_chunks, tc=tc)
+    io_spec = pl.BlockSpec(
+        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (10, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                g_chunks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            io_spec,
+        ],
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles * RAY_ROWS, RAY_LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(f, g_chunks, tm)
+    return out.reshape(-1)[:n] > 0
+
+
 def _build_g_chunks(v0, e1, e2, valid, tc):
     """(n_chunks, 4*tc, 10) chunk-grouped triangle features; invalid rows get
     all-zero coefficients (det = 0 -> never hit)."""
@@ -318,7 +420,7 @@ def intersect_triangles_pallas_rec(rays: Rays, scene, interpret=False):
     n = rays.o.shape[0]
     t_total = v0.shape[0]
     tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
-    if t_total == 0 or t_total % tc or tc % 32:
+    if t_total == 0 or t_total % tc or tc % 8:
         from .intersect import intersect_triangles
 
         tt, ti, tu, tv = intersect_triangles(rays, v0, e1, e2, valid)
@@ -361,7 +463,7 @@ def intersect_triangles_pallas(
     kernel itself (no HBM epilogue)."""
     t_total = v0.shape[0]
     tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
-    if t_total == 0 or t_total % tc or tc % 32:
+    if t_total == 0 or t_total % tc or tc % 8:
         from .intersect import intersect_triangles
 
         return intersect_triangles(rays, v0, e1, e2, valid)
@@ -384,7 +486,7 @@ def intersect_triangles_pallas_anyhit(
     bias scale."""
     t_total = v0.shape[0]
     tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
-    if t_total == 0 or t_total % tc or tc % 32:
+    if t_total == 0 or t_total % tc or tc % 8:
         from .intersect import intersect_triangles
 
         return intersect_triangles(rays, v0, e1, e2, valid)

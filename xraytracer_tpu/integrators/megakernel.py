@@ -1,0 +1,592 @@
+"""Fused single-kernel path tracer ("megakernel") for TPU.
+
+The wavefront GI step (reference: ``GIIntegrator::integrate``,
+Src/integrator.h:198-291) normally dispatches SIX Pallas sweeps per
+456k-ray step (3 bounces x nearest + shadow) plus ~4 ms of XLA fusion
+epilogue between them. Measurement shows each separate Pallas call carries
+a large fixed cost (~0.6-1 ms at this wavefront size) *independent of
+triangle count*, and the XLA shading epilogue is byte-bound — so the
+step-time floor is set by kernel-call count and HBM round-trips, not by
+intersection math.
+
+This module fuses the ENTIRE path integral into one Pallas kernel: per
+4096-ray tile, all bounces run back to back with ray state (origin,
+direction, throughput, radiance, RNG key, active mask) resident in VMEM.
+Per bounce: Möller-Trumbore nearest-hit sweep (MXU bilinear form, see
+``intersect._tri_features``), in-kernel winner-record extraction (one-hot
+MXU matmul), Lambert shading, per-light NEE with an in-kernel boolean
+shadow sweep, Russian roulette, and cosine/uniform hemisphere resampling
+with the counter-based PCG RNG evaluated in-kernel. HBM traffic collapses
+to ~40 B/ray in and 12 B/ray out for the WHOLE path.
+
+Layout notes:
+  * Ray state is kept as per-component (8, 512) arrays (full VPU sublane
+    utilization); the sweep runs per 512-lane row because its temporaries
+    are (tc, 512).
+  * Scene data (triangle features, packed surface records, light
+    parameters) is tiny for the reference scenes and lives fully in VMEM;
+    light/material scalars are baked into the kernel as constants.
+  * Sampling SITES match ``integrators/surface.py`` exactly (RR=0, BSDF=1,
+    lights=16+i, per-bounce stride ``SITES_PER_BOUNCE``), so the fused
+    kernel consumes the identical random stream and reproduces the XLA
+    wavefront image (up to Mosaic transcendental rounding, ~1e-4).
+
+Eligibility (checked by ``try_make_fused_path_integrator``): triangles
+only, Lambert-only materials, flat (triangle/quad) area lights, depth <= 8.
+Everything else falls back to the composable wavefront path.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import K_EPS, PI_INV, SHADOW_BIAS
+from ..sampling import SITES_PER_BOUNCE
+
+RAY_LANES = 512
+# 8 rows x 512 lanes per grid step; 16-row tiles were measured SLOWER for
+# the depth-3 NEE kernel (VMEM pressure), despite halving grid steps.
+RAY_ROWS = 8
+RAY_TILE = RAY_LANES * RAY_ROWS
+TRI_CHUNK = 128
+# Sweep row grouping: each in-kernel sweep processes SWEEP_GROUP rows'
+# worth of lanes in one matmul/VPU pass (fewer, wider op issues).
+SWEEP_GROUP = 2
+
+_INF_KEY = np.int32(0x7F800000)
+_IDX_MASK = np.int32(0x7F)
+_BIG = np.float32(3.0e38)
+
+# PCG constants (must match sampling/rng.py bit for bit)
+_GOLDEN = np.uint32(0x9E3779B9)
+_M1 = np.uint32(747796405)
+_A1 = np.uint32(2891336453)
+_M2 = np.uint32(277803737)
+_INV24 = np.float32(1.0 / (1 << 24))
+
+_SITE_RR = 0
+_SITE_BSDF = 1
+_SITE_LIGHT0 = 16
+
+
+def _pcg(x):
+    x = x * _M1 + _A1
+    word = ((x >> ((x >> np.uint32(28)) + np.uint32(4))) ^ x) * _M2
+    return (word >> np.uint32(22)) ^ word
+
+
+def _tof(u):
+    # Mosaic has no uint32->float cast; after >>8 the value fits in 24 bits,
+    # so the int32 bitcast is value-preserving.
+    return (
+        lax.bitcast_convert_type(u >> np.uint32(8), jnp.int32)
+        .astype(jnp.float32) * _INV24
+    )
+
+
+def _site_const(site):
+    """Baked (site * GOLDEN) mod 2^32 — sites are static per bounce here."""
+    return np.uint32((int(site) * 0x9E3779B9) % (1 << 32))
+
+
+def _u1(key, site):
+    return _tof(_pcg(key + _site_const(site)))
+
+
+def _u2(key, site):
+    x1 = _pcg(key + _site_const(site))
+    x2 = _pcg(x1)
+    return _tof(x1), _tof(x2)
+
+
+def _cat(rows):
+    return jnp.concatenate(rows, axis=0)
+
+
+def _build_f(o3, d3, extra=None):
+    """(10[+1], 512) MT ray-feature rows from per-component (1, 512) slices:
+    [o x d (3) | d (3) | o (3) | 1 | extra?] (see intersect._ray_features_t).
+
+    ``extra`` (e.g. the shadow t_max) rides along as an 11th row so the
+    whole block can later be lane-concatenated across rows — Mosaic rejects
+    lane concats of raw row slices with mismatched sublane offsets, but the
+    sublane concat here normalizes them.
+    """
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    rows = [
+        oy * dz - oz * dy,
+        oz * dx - ox * dz,
+        ox * dy - oy * dx,
+        dx, dy, dz, ox, oy, oz,
+        jnp.ones_like(ox),
+    ]
+    if extra is not None:
+        rows.append(extra)
+    return _cat(rows)
+
+
+def _nearest_row(f, g_ref, rec_ref, n_chunks, tc):
+    """One nearest-hit sweep over ``L = f.shape[1]`` lanes + winner record
+    extraction. Returns (key, t, u, v) as (1, L) and rec as (32, L). Same
+    packed-key selection as geometry/pallas_kernels._sweep_kernel_impl."""
+    L = f.shape[1]
+
+    def chunk(c, carry):
+        bk, bt, bu, bv, brec = carry
+        g = g_ref[c]
+        prod = lax.dot_general(
+            g, f, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        det = prod[0:tc]
+        u_num = prod[tc:2 * tc]
+        v_num = prod[2 * tc:3 * tc]
+        t_num = prod[3 * tc:4 * tc]
+        sgn = jnp.sign(det)
+        absd = jnp.abs(det)
+        u_s = u_num * sgn
+        v_s = v_num * sgn
+        t_s = t_num * sgn
+        ok = ((absd >= K_EPS) & (u_s >= 0.0) & (v_s >= 0.0)
+              & (u_s + v_s <= absd) & (t_s > K_EPS * absd))
+        inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        t = jnp.where(ok, t_num * inv_det, 1.0)
+        local = lax.broadcasted_iota(jnp.int32, (tc, L), 0)
+        key = (lax.bitcast_convert_type(t, jnp.int32) & ~_IDX_MASK) | local
+        key = jnp.where(ok, key, _INF_KEY)
+        kmin = jnp.min(key, axis=0, keepdims=True)
+        better = kmin < bk
+        bk = jnp.minimum(bk, kmin)
+        win = key == kmin
+        neg = jnp.float32(-3.0e38)
+        t_w = jnp.max(jnp.where(win, t, neg), axis=0, keepdims=True)
+        u_w = jnp.max(jnp.where(win, u_num * inv_det, neg), axis=0,
+                      keepdims=True)
+        v_w = jnp.max(jnp.where(win, v_num * inv_det, neg), axis=0,
+                      keepdims=True)
+        bt = jnp.where(better, t_w, bt)
+        bu = jnp.where(better, u_w, bu)
+        bv = jnp.where(better, v_w, bv)
+        rec_w = lax.dot_general(
+            rec_ref[c], win.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        brec = jnp.where(better, rec_w, brec)
+        return bk, bt, bu, bv, brec
+
+    bk = jnp.full((1, L), _INF_KEY, jnp.int32)
+    zf = jnp.zeros((1, L), jnp.float32)
+    init = (bk, jnp.full_like(zf, _BIG), zf, zf,
+            jnp.zeros((32, L), jnp.float32))
+    if n_chunks == 1:
+        bk, bt, bu, bv, brec = chunk(0, init)
+    else:
+        bk, bt, bu, bv, brec = lax.fori_loop(0, n_chunks, chunk, init)
+    # int32 key (not bool) so rows can be concatenated (Mosaic cannot
+    # concat i1 vregs); caller compares against _INF_KEY after stacking
+    return bk, bt, bu, bv, brec
+
+
+def _anyhit_row(f11, go_ref, n_chunks, tc):
+    """Boolean shadow sweep over ``L`` lanes (exact division-free t < t_max
+    compare, as geometry/pallas_kernels._anyhit_kernel). ``f11`` carries the
+    10 MT feature rows plus the per-lane t_max as row 10. -> (1, L) int32."""
+    L = f11.shape[1]
+    f = f11[0:10]
+    tm = f11[10:11]
+
+    def chunk(c, acc):
+        g = go_ref[c]
+        prod = lax.dot_general(
+            g, f, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        det = prod[0:tc]
+        u_num = prod[tc:2 * tc]
+        v_num = prod[2 * tc:3 * tc]
+        t_num = prod[3 * tc:4 * tc]
+        sgn = jnp.sign(det)
+        absd = jnp.abs(det)
+        u_s = u_num * sgn
+        v_s = v_num * sgn
+        t_s = t_num * sgn
+        ok = ((absd >= K_EPS) & (u_s >= 0.0) & (v_s >= 0.0)
+              & (u_s + v_s <= absd) & (t_s > K_EPS * absd)
+              & (t_s < tm * absd))
+        hit = jnp.max(ok.astype(jnp.int32), axis=0, keepdims=True)
+        return jnp.maximum(acc, hit)
+
+    init = jnp.zeros((1, L), jnp.int32)
+    if n_chunks == 1:
+        return chunk(0, init)
+    return lax.fori_loop(0, n_chunks, chunk, init)
+
+
+def _mega_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, key_ref,
+    g_ref, go_ref, rec_ref, rr_ref, rg_ref, rb_ref, *,
+    n_chunks, tc, max_depth, nee, le0, cosine, lights, center,
+):
+    """Whole-path kernel body for one 4096-ray tile.
+
+    ``lights``: static tuple of dicts {type(0=tri,1=quad), v0, e1, e2, ng,
+    le} with numpy float tuples; ``center``: triangle-table centroid baked
+    into the ray-feature build (the g features are centered, see
+    pallas_kernels._build_g_chunks).
+    """
+    cx, cy, cz = (np.float32(c) for c in center)
+    ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    key = key_ref[...]
+    shp = ox.shape                      # (8, 512)
+    zero = jnp.zeros(shp, jnp.float32)
+    one = jnp.ones(shp, jnp.float32)
+    trr, trg, trb = one, one, one       # throughput
+    rr_, rg_, rb_ = zero, zero, zero    # radiance
+    active = jnp.ones(shp, bool)
+
+    for depth in range(max_depth):
+        base = depth * SITES_PER_BOUNCE
+
+        # ---- nearest sweep, SWEEP_GROUP rows' lanes per pass ---------
+        G = SWEEP_GROUP
+        hit_r, t_r, u_r, v_r, rec_r = [], [], [], [], []
+        for r0 in range(0, RAY_ROWS, G):
+            fg = jnp.concatenate([
+                _build_f(
+                    (ox[r:r + 1] - cx, oy[r:r + 1] - cy, oz[r:r + 1] - cz),
+                    (dx[r:r + 1], dy[r:r + 1], dz[r:r + 1]),
+                )
+                for r in range(r0, r0 + G)
+            ], axis=1)                                  # (10, G*512)
+            bk, t, u, v, rec = _nearest_row(fg, g_ref, rec_ref, n_chunks, tc)
+            for j in range(G):
+                s = slice(j * RAY_LANES, (j + 1) * RAY_LANES)
+                hit_r.append(bk[:, s])
+                t_r.append(t[:, s])
+                u_r.append(u[:, s])
+                v_r.append(v[:, s])
+                rec_r.append(rec[:, s])
+        hit = _cat(hit_r) < _INF_KEY
+        t = _cat(t_r)
+        tu = _cat(u_r)
+        tv = _cat(v_r)
+
+        def rcomp(c):
+            return _cat([rec_r[r][c:c + 1] for r in range(RAY_ROWS)])
+
+        # packed record columns (see scene/tables.py tri_rec layout)
+        n0x, n0y, n0z = rcomp(0), rcomp(1), rcomp(2)
+        n1x, n1y, n1z = rcomp(3), rcomp(4), rcomp(5)
+        n2x, n2y, n2z = rcomp(6), rcomp(7), rcomp(8)
+        e1x, e1y, e1z = rcomp(18), rcomp(19), rcomp(20)
+        e2x, e2y, e2z = rcomp(21), rcomp(22), rcomp(23)
+        lrow = rcomp(25)
+        albr, albg, albb = rcomp(29), rcomp(30), rcomp(31)
+
+        active = active & hit
+
+        # geometric normal = normalize(cross(e1, e2))
+        ngx = e1y * e2z - e1z * e2y
+        ngy = e1z * e2x - e1x * e2z
+        ngz = e1x * e2y - e1y * e2x
+        ngl = jnp.sqrt(ngx * ngx + ngy * ngy + ngz * ngz)
+        ngi = 1.0 / ngl
+        ngx, ngy, ngz = ngx * ngi, ngy * ngi, ngz * ngi
+        # shading normal: renormalized barycentric interpolation
+        w0 = 1.0 - tu - tv
+        nsx = w0 * n0x + tu * n1x + tv * n2x
+        nsy = w0 * n0y + tu * n1y + tv * n2y
+        nsz = w0 * n0z + tu * n1z + tv * n2z
+        nsi = 1.0 / jnp.maximum(
+            jnp.sqrt(nsx * nsx + nsy * nsy + nsz * nsz), 1e-20
+        )
+        nsx, nsy, nsz = nsx * nsi, nsy * nsi, nsz * nsi
+        # hit position
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+
+        # ---- Russian roulette (depth > 0) ----------------------------
+        if depth > 0:
+            u_rr = _u1(key, base + _SITE_RR)
+            rr_prob = jnp.minimum((trr + trg + trb) * np.float32(1 / 3), 1.0)
+            killed = active & (u_rr >= rr_prob)
+            active = active & ~killed
+            boost = 1.0 / jnp.maximum(rr_prob, 1e-12)
+            trr = jnp.where(active, trr * boost, trr)
+            trg = jnp.where(active, trg * boost, trg)
+            trb = jnp.where(active, trb * boost, trb)
+
+        # ---- emitter hit (one-sided Le) ------------------------------
+        is_emitter = active & (lrow >= 0.0)
+        if (not le0) or depth == 0:
+            wons = -(dx * nsx + dy * nsy + dz * nsz)
+            on = wons > 0.0
+            ler, leg, leb = zero, zero, zero
+            for i, L in enumerate(lights):
+                sel = (lrow == np.float32(i)) & on
+                ler = jnp.where(sel, np.float32(L["le"][0]), ler)
+                leg = jnp.where(sel, np.float32(L["le"][1]), leg)
+                leb = jnp.where(sel, np.float32(L["le"][2]), leb)
+            rr_ = rr_ + jnp.where(is_emitter, trr * ler, 0.0)
+            rg_ = rg_ + jnp.where(is_emitter, trg * leg, 0.0)
+            rb_ = rb_ + jnp.where(is_emitter, trb * leb, 0.0)
+        active = active & ~is_emitter
+
+        # ---- NEE over (baked) flat area lights -----------------------
+        if nee:
+            for i, L in enumerate(lights):
+                lu, lv = _u2(key, base + _SITE_LIGHT0 + i)
+                v0x, v0y, v0z = (np.float32(c) for c in L["v0"])
+                E1 = tuple(np.float32(c) for c in L["e1"])
+                E2 = tuple(np.float32(c) for c in L["e2"])
+                if L["type"] == 0:  # triangle: sqrt warp, a=v0 b=v0+e1 c=v0+e2
+                    su = jnp.sqrt(lu)
+                    vs = lv * su
+                    lpx = (v0x + E2[0]) + (1.0 - su) * (-E2[0]) + vs * (E1[0] - E2[0])
+                    lpy = (v0y + E2[1]) + (1.0 - su) * (-E2[1]) + vs * (E1[1] - E2[1])
+                    lpz = (v0z + E2[2]) + (1.0 - su) * (-E2[2]) + vs * (E1[2] - E2[2])
+                    pdf_scale = np.float32(2.0)
+                else:               # quad: bilinear point
+                    lpx = v0x + E1[0] * lu + E2[0] * lv
+                    lpy = v0y + E1[1] * lu + E2[1] * lv
+                    lpz = v0z + E1[2] * lu + E2[2] * lv
+                    pdf_scale = np.float32(1.0)
+                dlx, dly, dlz = lpx - px, lpy - py, lpz - pz
+                tl = jnp.sqrt(dlx * dlx + dly * dly + dlz * dlz)
+                GN = tuple(np.float32(c) for c in L["ng"])
+                ddn = dlx * GN[0] + dly * GN[1] + dlz * GN[2]
+                front = ddn < 0.0
+                denom = jnp.abs(ddn)
+                denom = jnp.where(denom == 0.0, 1.0, denom)
+                pdf = pdf_scale * tl * tl * tl / denom
+                ok = pdf > 0.0
+                ti = 1.0 / jnp.where(tl == 0.0, 1.0, tl)
+                wix, wiy, wiz = dlx * ti, dly * ti, dlz * ti
+                # shadow sweep (emissive rows pre-masked in go_ref)
+                sox = px + ngx * SHADOW_BIAS
+                soy = py + ngy * SHADOW_BIAS
+                soz = pz + ngz * SHADOW_BIAS
+                tm = tl - SHADOW_BIAS
+                blk = []
+                for r0 in range(0, RAY_ROWS, G):
+                    fs = jnp.concatenate([
+                        _build_f(
+                            (sox[r:r + 1] - cx, soy[r:r + 1] - cy,
+                             soz[r:r + 1] - cz),
+                            (wix[r:r + 1], wiy[r:r + 1], wiz[r:r + 1]),
+                            extra=tm[r:r + 1],
+                        )
+                        for r in range(r0, r0 + G)
+                    ], axis=1)
+                    bg = _anyhit_row(fs, go_ref, n_chunks, tc)
+                    for j in range(G):
+                        blk.append(
+                            bg[:, j * RAY_LANES:(j + 1) * RAY_LANES]
+                        )
+                vis = _cat(blk) == 0
+                cosv = jnp.maximum(0.0, ngx * wix + ngy * wiy + ngz * wiz)
+                wo_y = -(dx * nsx + dy * nsy + dz * nsz)
+                wi_y = wix * nsx + wiy * nsy + wiz * nsz
+                above = (wo_y > 0.0) & (wi_y > 0.0)
+                pdfs = jnp.where(ok, pdf, 1.0)
+                coef = jnp.where(
+                    vis & ok & above & front, cosv / pdfs, 0.0
+                ) * np.float32(PI_INV)
+                LE = tuple(np.float32(c) for c in L["le"])
+                rr_ = rr_ + jnp.where(active, trr * albr * LE[0] * coef, 0.0)
+                rg_ = rg_ + jnp.where(active, trg * albg * LE[1] * coef, 0.0)
+                rb_ = rb_ + jnp.where(active, trb * albb * LE[2] * coef, 0.0)
+
+        # ---- BSDF bounce (Lambert) -----------------------------------
+        # the final bounce's sampled ray feeds no further iteration — skip
+        # it entirely (identical radiance, saves one shading block)
+        if depth == max_depth - 1:
+            break
+        ub1, ub2 = _u2(key, base + _SITE_BSDF)
+        if cosine:
+            rad = jnp.sqrt(ub1)
+            phi = np.float32(2.0 * np.pi) * ub2
+            lx = rad * jnp.cos(phi)
+            lz = rad * jnp.sin(phi)
+            ly = jnp.sqrt(jnp.maximum(0.0, 1.0 - ub1))
+            wr, wg, wb = albr, albg, albb
+        else:
+            st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ub1 * ub1))
+            phi = np.float32(2.0 * np.pi) * ub2
+            lx = st * jnp.cos(phi)
+            ly = ub1
+            lz = st * jnp.sin(phi)
+            cw = 2.0 * jnp.maximum(ly, 0.0)
+            wr, wg, wb = albr * cw, albg * cw, albb * cw
+        # Duff ONB about the (guarded) shading normal
+        gsx = jnp.where(hit, nsx, 0.0)
+        gsy = jnp.where(hit, nsy, 1.0)
+        gsz = jnp.where(hit, nsz, 0.0)
+        sg = jnp.copysign(jnp.ones(shp, jnp.float32), gsz)
+        a = -1.0 / (sg + gsz)
+        b = gsx * gsy * a
+        t0x, t0y, t0z = 1.0 + sg * gsx * gsx * a, sg * b, -sg * gsx
+        b0x, b0y, b0z = b, sg + gsy * gsy * a, -gsy
+        # local -> world: wi = lx*t0 + ly*ns + lz*b0 (XLA path uses the
+        # unguarded ns as the Y axis; identical on live lanes)
+        wwx = lx * t0x + ly * nsx + lz * b0x
+        wwy = lx * t0y + ly * nsy + lz * b0y
+        wwz = lx * t0z + ly * nsz + lz * b0z
+        trr = jnp.where(active, trr * wr, trr)
+        trg = jnp.where(active, trg * wg, trg)
+        trb = jnp.where(active, trb * wb, trb)
+        active = active & ((trr > 0.0) | (trg > 0.0) | (trb > 0.0))
+        isign = -jnp.sign(dx * ngx + dy * ngy + dz * ngz)
+        off = isign * np.float32(SHADOW_BIAS)
+        ox = jnp.where(active, px + off * ngx, ox)
+        oy = jnp.where(active, py + off * ngy, oy)
+        oz = jnp.where(active, pz + off * ngz, oz)
+        dx = jnp.where(active, wwx, dx)
+        dy = jnp.where(active, wwy, dy)
+        dz = jnp.where(active, wwz, dz)
+
+    rr_ref[...] = rr_
+    rg_ref[...] = rg_
+    rb_ref[...] = rb_
+
+
+def _eligible(scene, statics, max_depth):
+    """Concrete-table eligibility for the fused kernel; returns the baked
+    light list or None."""
+    try:
+        tri_obj = np.asarray(scene.tri_obj)
+        sph_obj = np.asarray(scene.sph_obj)
+        box_obj = np.asarray(scene.box_obj)
+        al_type = np.asarray(scene.al_type)
+        mat_type = np.asarray(scene.mat_type)
+        obj_mat = np.asarray(scene.obj_mat)
+    except Exception:
+        return None  # traced tables (e.g. inside grad): fall back
+    if max_depth < 1 or max_depth > 8:
+        return None
+    t_total = tri_obj.shape[0]
+    tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
+    if t_total == 0 or t_total % tc or tc % 8:
+        return None
+    if (sph_obj >= 0).any() or (box_obj >= 0).any():
+        return None
+    # all objects' materials must be Lambert (or absent)
+    valid_obj = np.unique(tri_obj[tri_obj >= 0])
+    mats = obj_mat[valid_obj]
+    mats = mats[mats >= 0]
+    if mats.size and (mat_type[mats] != 0).any():
+        return None
+    # all area lights flat (triangle=0 / quad=1)
+    n_lights = statics["n_area_lights"]
+    lights = []
+    for i in range(n_lights):
+        if al_type[i] not in (0, 1):
+            return None
+        lights.append({
+            "type": int(al_type[i]),
+            "v0": tuple(float(c) for c in np.asarray(scene.al_v0)[i]),
+            "e1": tuple(float(c) for c in np.asarray(scene.al_e1)[i]),
+            "e2": tuple(float(c) for c in np.asarray(scene.al_e2)[i]),
+            "ng": tuple(float(c) for c in np.asarray(scene.al_ng)[i]),
+            "le": tuple(float(c) for c in np.asarray(scene.al_le)[i]),
+        })
+    if n_lights > 8:
+        return None  # unrolled NEE code size guard
+    return tuple(lights)
+
+
+def try_make_fused_path_integrator(
+    scene, statics, max_depth, nee=True, le_depth0_only=None,
+    cosine_sampling=False, interpret=False, force=False,
+):
+    """Build the fused-path integrate(rays, keys) if the scene qualifies,
+    else return None. ``force`` skips the TPU-platform check (tests run the
+    kernel with ``interpret=True`` on CPU)."""
+    if not force:
+        try:
+            if jax.devices()[0].platform != "tpu":
+                return None
+        except Exception:
+            return None
+    if le_depth0_only is None:
+        le_depth0_only = nee
+    lights = _eligible(scene, statics, max_depth)
+    if lights is None:
+        return None
+    if nee and len(lights) == 0:
+        nee = False
+
+    from ..geometry.pallas_kernels import _build_g_chunks
+
+    t_total = np.asarray(scene.tri_obj).shape[0]
+    tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
+    n_chunks = t_total // tc
+    center = tuple(float(c) for c in np.asarray(jnp.mean(scene.tri_v0, axis=0)))
+    c_arr = jnp.asarray(center)
+    valid = scene.tri_obj >= 0
+    g_chunks = _build_g_chunks(scene.tri_v0 - c_arr, scene.tri_e1,
+                               scene.tri_e2, valid, tc)
+    tri_light = scene.obj_light[jnp.maximum(scene.tri_obj, 0)]
+    blocks = valid & (tri_light < 0)
+    go_chunks = _build_g_chunks(scene.tri_v0 - c_arr, scene.tri_e1,
+                                scene.tri_e2, blocks, tc)
+    rec_chunks = scene.tri_rec.reshape(n_chunks, tc, 32)
+
+    kernel = partial(
+        _mega_kernel, n_chunks=n_chunks, tc=tc, max_depth=max_depth,
+        nee=nee, le0=le_depth0_only, cosine=cosine_sampling,
+        lights=lights, center=center,
+    )
+    io_spec = pl.BlockSpec(
+        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    table_specs = [
+        pl.BlockSpec(g_chunks.shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(go_chunks.shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(rec_chunks.shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def integrate(rays, keys):
+        n = rays.o.shape[0]
+        n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+        n_tiles = n_pad // RAY_TILE
+        grid_rows = n_tiles * RAY_ROWS
+
+        def lane(x):
+            if n_pad != n:
+                x = jnp.pad(x, (0, n_pad - n))
+            return x.reshape(grid_rows, RAY_LANES)
+
+        comps = [lane(rays.o[:, 0]), lane(rays.o[:, 1]), lane(rays.o[:, 2]),
+                 lane(rays.d[:, 0]), lane(rays.d[:, 1]), lane(rays.d[:, 2]),
+                 lane(keys.astype(jnp.uint32))]
+        out_shape = jax.ShapeDtypeStruct((grid_rows, RAY_LANES), jnp.float32)
+        r, g, b = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[io_spec] * 7 + table_specs,
+            out_specs=[io_spec] * 3,
+            out_shape=[out_shape] * 3,
+            interpret=interpret,
+        )(*comps, g_chunks, go_chunks, rec_chunks)
+        return jnp.stack(
+            [r.reshape(-1)[:n], g.reshape(-1)[:n], b.reshape(-1)[:n]],
+            axis=-1,
+        )
+
+    return integrate

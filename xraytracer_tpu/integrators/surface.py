@@ -148,7 +148,7 @@ def make_direct_integrator(scene, statics, tri_fn=None):
 def make_path_integrator(
     scene, statics, max_depth, nee=True, le_depth0_only=None,
     cosine_sampling=False, tri_fn=None, mis=False, with_stats=False,
-    nee_mode="all",
+    nee_mode="all", fused="auto",
 ):
     """Indirect (``nee=False``) and GI (``nee=True``) path tracing
     (reference: Src/integrator.h:122-190 and 198-291).
@@ -177,6 +177,22 @@ def make_path_integrator(
         le_depth0_only = False
     if le_depth0_only is None:
         le_depth0_only = nee
+
+    # single-kernel fused path (megakernel.py): on TPU, for eligible scenes
+    # (triangles + Lambert + flat area lights), the whole path integral runs
+    # inside ONE Pallas call — ~2.5x the composable wavefront's throughput.
+    if (
+        fused == "auto" and tri_fn is None and not with_stats and not mis
+        and nee_mode == "all"
+    ):
+        from .megakernel import try_make_fused_path_integrator
+
+        fi = try_make_fused_path_integrator(
+            scene, statics, max_depth, nee=nee,
+            le_depth0_only=le_depth0_only, cosine_sampling=cosine_sampling,
+        )
+        if fi is not None:
+            return fi
 
     def integrate(rays: Rays, keys):
         n = rays.o.shape[0]

@@ -33,13 +33,14 @@ from .tables import (
     SceneTables,
 )
 
-# Triangle table padding: multiples of 32 up to 128 (the Pallas sweep
-# handles any single chunk <= 128 rows), then multiples of 128 (the
-# multi-chunk kernels require it). Small scenes avoid paying for a full
-# 128-row chunk (Cornell has ~21 real triangles).
+# Triangle table padding: multiples of 8 up to 128 (the Pallas sweep
+# handles any single chunk <= 128 rows; 8 is the fp32 sublane tile), then
+# multiples of 128 (the multi-chunk kernels require it). Small scenes pay
+# only for their rounded-up rows (Cornell: 36 real triangles -> 40 rows,
+# not 64 — the sweep kernels are VPU-bound in the row count).
 def _tri_pad(n):
     if n <= 128:
-        return max(32, ((n + 31) // 32) * 32)
+        return max(8, ((n + 7) // 8) * 8)
     return ((n + 127) // 128) * 128
 
 
