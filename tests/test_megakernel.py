@@ -105,6 +105,39 @@ def test_fused_eligibility_gates():
     ) is None  # depth guard
 
 
+def test_fused_spp_render_matches_renderer():
+    """The whole-render kernel (in-kernel spp loop + camera generation +
+    rejection + accumulation) reproduces the XLA per-sample renderer's
+    accumulated image at matched (seed, pixel, sample) RNG streams,
+    including a resumed chunk (s0 > 0)."""
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators.megakernel import (
+        try_make_fused_spp_render,
+    )
+    from xraytracer_tpu.renderer import WavefrontRenderer
+    from xraytracer_tpu.scene.presets import cornell_camera
+
+    tables, statics = _cornell()
+    w, h = 64, 48
+    camera = PinholeCamera.make(w / h, **cornell_camera())
+    fused = try_make_fused_spp_render(
+        tables, statics, camera, w, h, seed=3, max_depth=2, nee=True,
+        interpret=True, force=True,
+    )
+    assert fused is not None
+    wave = make_path_integrator(tables, statics, max_depth=2, nee=True,
+                                fused="never")
+    renderer = WavefrontRenderer(tables, camera, wave, w, h, seed=3)
+    ref = renderer.render(3)
+
+    rad01, rej01 = fused(0, 2)
+    rad2, rej2 = fused(2, 1)          # resumed chunk must continue the stream
+    img = np.asarray(rad01 + rad2).reshape(h, w, 3) / 3.0
+    np.testing.assert_allclose(img, ref.image, rtol=2e-3, atol=2e-3)
+    assert int(rej01) + int(rej2) == ref.n_rejected
+    assert img.mean() > 1e-3
+
+
 def test_occluded_bool_kernel_matches_xla():
     """geometry.pallas_kernels.occluded_triangles_pallas (the in-kernel
     t_max compare) agrees with the XLA anyhit + epilogue compare."""

@@ -133,12 +133,16 @@ def _build_f(o3, d3, extra=None):
 
 def _nearest_row(f, g_ref, rec_ref, n_chunks, tc):
     """One nearest-hit sweep over ``L = f.shape[1]`` lanes + winner record
-    extraction. Returns (key, t, u, v) as (1, L) and rec as (32, L). Same
-    packed-key selection as geometry/pallas_kernels._sweep_kernel_impl."""
+    extraction. Returns the packed key (1, L) int32 and rec as (32, L).
+    Same packed-key selection as geometry/pallas_kernels._sweep_kernel_impl,
+    but WITHOUT per-chunk t/u/v winner extraction: those were three extra
+    cross-sublane max-reduces over the full (tc, L) area per chunk — the
+    caller recomputes exact t/u/v from the winner's v0/e1/e2 (record cols
+    15-23) on the (rows, 512) footprint instead (``_mt_from_record``)."""
     L = f.shape[1]
 
     def chunk(c, carry):
-        bk, bt, bu, bv, brec = carry
+        bk, brec = carry
         g = g_ref[c]
         prod = lax.dot_general(
             g, f, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -165,15 +169,6 @@ def _nearest_row(f, g_ref, rec_ref, n_chunks, tc):
         better = kmin < bk
         bk = jnp.minimum(bk, kmin)
         win = key == kmin
-        neg = jnp.float32(-3.0e38)
-        t_w = jnp.max(jnp.where(win, t, neg), axis=0, keepdims=True)
-        u_w = jnp.max(jnp.where(win, u_num * inv_det, neg), axis=0,
-                      keepdims=True)
-        v_w = jnp.max(jnp.where(win, v_num * inv_det, neg), axis=0,
-                      keepdims=True)
-        bt = jnp.where(better, t_w, bt)
-        bu = jnp.where(better, u_w, bu)
-        bv = jnp.where(better, v_w, bv)
         rec_w = lax.dot_general(
             rec_ref[c], win.astype(jnp.float32),
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -181,19 +176,17 @@ def _nearest_row(f, g_ref, rec_ref, n_chunks, tc):
             precision=lax.Precision.HIGHEST,
         )
         brec = jnp.where(better, rec_w, brec)
-        return bk, bt, bu, bv, brec
+        return bk, brec
 
-    bk = jnp.full((1, L), _INF_KEY, jnp.int32)
-    zf = jnp.zeros((1, L), jnp.float32)
-    init = (bk, jnp.full_like(zf, _BIG), zf, zf,
+    init = (jnp.full((1, L), _INF_KEY, jnp.int32),
             jnp.zeros((32, L), jnp.float32))
     if n_chunks == 1:
-        bk, bt, bu, bv, brec = chunk(0, init)
+        bk, brec = chunk(0, init)
     else:
-        bk, bt, bu, bv, brec = lax.fori_loop(0, n_chunks, chunk, init)
+        bk, brec = lax.fori_loop(0, n_chunks, chunk, init)
     # int32 key (not bool) so rows can be concatenated (Mosaic cannot
     # concat i1 vregs); caller compares against _INF_KEY after stacking
-    return bk, bt, bu, bv, brec
+    return bk, brec
 
 
 def _anyhit_row(f11, go_ref, n_chunks, tc):
@@ -232,12 +225,13 @@ def _anyhit_row(f11, go_ref, n_chunks, tc):
     return lax.fori_loop(0, n_chunks, chunk, init)
 
 
-def _mega_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, key_ref,
-    g_ref, go_ref, rec_ref, rr_ref, rg_ref, rb_ref, *,
+def _trace_body(
+    ox, oy, oz, dx, dy, dz, key, g_ref, go_ref, rec_ref, *,
     n_chunks, tc, max_depth, nee, le0, cosine, lights, center,
 ):
-    """Whole-path kernel body for one 4096-ray tile.
+    """Whole-path trace for one (RAY_ROWS, RAY_LANES) tile of rays; shared
+    by the per-sample kernel (``_mega_kernel``) and the spp-loop render
+    kernel (``_mega_spp_kernel``). Returns per-lane (rr, rg, rb) radiance.
 
     ``lights``: static tuple of dicts {type(0=tri,1=quad), v0, e1, e2, ng,
     le} with numpy float tuples; ``center``: triangle-table centroid baked
@@ -245,9 +239,6 @@ def _mega_kernel(
     pallas_kernels._build_g_chunks).
     """
     cx, cy, cz = (np.float32(c) for c in center)
-    ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
-    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
-    key = key_ref[...]
     shp = ox.shape                      # (8, 512)
     zero = jnp.zeros(shp, jnp.float32)
     one = jnp.ones(shp, jnp.float32)
@@ -260,7 +251,7 @@ def _mega_kernel(
 
         # ---- nearest sweep, SWEEP_GROUP rows' lanes per pass ---------
         G = SWEEP_GROUP
-        hit_r, t_r, u_r, v_r, rec_r = [], [], [], [], []
+        hit_r, rec_r = [], []
         for r0 in range(0, RAY_ROWS, G):
             fg = jnp.concatenate([
                 _build_f(
@@ -269,18 +260,12 @@ def _mega_kernel(
                 )
                 for r in range(r0, r0 + G)
             ], axis=1)                                  # (10, G*512)
-            bk, t, u, v, rec = _nearest_row(fg, g_ref, rec_ref, n_chunks, tc)
+            bk, rec = _nearest_row(fg, g_ref, rec_ref, n_chunks, tc)
             for j in range(G):
                 s = slice(j * RAY_LANES, (j + 1) * RAY_LANES)
                 hit_r.append(bk[:, s])
-                t_r.append(t[:, s])
-                u_r.append(u[:, s])
-                v_r.append(v[:, s])
                 rec_r.append(rec[:, s])
         hit = _cat(hit_r) < _INF_KEY
-        t = _cat(t_r)
-        tu = _cat(u_r)
-        tv = _cat(v_r)
 
         def rcomp(c):
             return _cat([rec_r[r][c:c + 1] for r in range(RAY_ROWS)])
@@ -289,10 +274,32 @@ def _mega_kernel(
         n0x, n0y, n0z = rcomp(0), rcomp(1), rcomp(2)
         n1x, n1y, n1z = rcomp(3), rcomp(4), rcomp(5)
         n2x, n2y, n2z = rcomp(6), rcomp(7), rcomp(8)
+        v0x, v0y, v0z = rcomp(15), rcomp(16), rcomp(17)
         e1x, e1y, e1z = rcomp(18), rcomp(19), rcomp(20)
         e2x, e2y, e2z = rcomp(21), rcomp(22), rcomp(23)
         lrow = rcomp(25)
         albr, albg, albb = rcomp(29), rcomp(30), rcomp(31)
+
+        # exact t/u/v via classic factored Möller-Trumbore against the
+        # WINNER's geometry, on the (8, 512) footprint — the same math the
+        # XLA wavefront's intersect_triangles evaluates, so fused/wavefront
+        # parity actually improves vs the old in-loop expanded-form extract.
+        # Miss lanes carry an all-zero record -> det = 0 -> guarded.
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det_w = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_w = 1.0 / jnp.where(det_w == 0.0, 1.0, det_w)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        tu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_w
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        tv = (dx * qvx + dy * qvy + dz * qvz) * inv_w
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_w
+        t = jnp.where(hit, t, _BIG)
+        tu = jnp.where(hit, tu, 0.0)
+        tv = jnp.where(hit, tv, 0.0)
 
         active = active & hit
 
@@ -457,6 +464,19 @@ def _mega_kernel(
         dy = jnp.where(active, wwy, dy)
         dz = jnp.where(active, wwz, dz)
 
+    return rr_, rg_, rb_
+
+
+def _mega_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, key_ref,
+    g_ref, go_ref, rec_ref, rr_ref, rg_ref, rb_ref, **consts,
+):
+    """Per-sample whole-path kernel: rays in, radiance out (one tile)."""
+    rr_, rg_, rb_ = _trace_body(
+        ox_ref[...], oy_ref[...], oz_ref[...],
+        dx_ref[...], dy_ref[...], dz_ref[...], key_ref[...],
+        g_ref, go_ref, rec_ref, **consts,
+    )
     rr_ref[...] = rr_
     rg_ref[...] = rg_
     rb_ref[...] = rb_
@@ -507,21 +527,9 @@ def _eligible(scene, statics, max_depth):
     return tuple(lights)
 
 
-def try_make_fused_path_integrator(
-    scene, statics, max_depth, nee=True, le_depth0_only=None,
-    cosine_sampling=False, interpret=False, force=False,
-):
-    """Build the fused-path integrate(rays, keys) if the scene qualifies,
-    else return None. ``force`` skips the TPU-platform check (tests run the
-    kernel with ``interpret=True`` on CPU)."""
-    if not force:
-        try:
-            if jax.devices()[0].platform != "tpu":
-                return None
-        except Exception:
-            return None
-    if le_depth0_only is None:
-        le_depth0_only = nee
+def _bake(scene, statics, max_depth, nee, le0, cosine):
+    """Shared scene baking for both fused kernels: eligibility check, then
+    (kernel consts, g/go/rec chunk tables, table BlockSpecs) — or None."""
     lights = _eligible(scene, statics, max_depth)
     if lights is None:
         return None
@@ -543,14 +551,9 @@ def try_make_fused_path_integrator(
     go_chunks = _build_g_chunks(scene.tri_v0 - c_arr, scene.tri_e1,
                                 scene.tri_e2, blocks, tc)
     rec_chunks = scene.tri_rec.reshape(n_chunks, tc, 32)
-
-    kernel = partial(
-        _mega_kernel, n_chunks=n_chunks, tc=tc, max_depth=max_depth,
-        nee=nee, le0=le_depth0_only, cosine=cosine_sampling,
-        lights=lights, center=center,
-    )
-    io_spec = pl.BlockSpec(
-        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    consts = dict(
+        n_chunks=n_chunks, tc=tc, max_depth=max_depth, nee=nee, le0=le0,
+        cosine=cosine, lights=lights, center=center,
     )
     table_specs = [
         pl.BlockSpec(g_chunks.shape, lambda i: (0, 0, 0),
@@ -560,6 +563,34 @@ def try_make_fused_path_integrator(
         pl.BlockSpec(rec_chunks.shape, lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    return consts, g_chunks, go_chunks, rec_chunks, table_specs
+
+
+def try_make_fused_path_integrator(
+    scene, statics, max_depth, nee=True, le_depth0_only=None,
+    cosine_sampling=False, interpret=False, force=False,
+):
+    """Build the fused-path integrate(rays, keys) if the scene qualifies,
+    else return None. ``force`` skips the TPU-platform check (tests run the
+    kernel with ``interpret=True`` on CPU)."""
+    if not force:
+        try:
+            if jax.devices()[0].platform != "tpu":
+                return None
+        except Exception:
+            return None
+    if le_depth0_only is None:
+        le_depth0_only = nee
+    baked = _bake(scene, statics, max_depth, nee, le_depth0_only,
+                  cosine_sampling)
+    if baked is None:
+        return None
+    consts, g_chunks, go_chunks, rec_chunks, table_specs = baked
+
+    kernel = partial(_mega_kernel, **consts)
+    io_spec = pl.BlockSpec(
+        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
 
     def integrate(rays, keys):
         n = rays.o.shape[0]
@@ -590,3 +621,153 @@ def try_make_fused_path_integrator(
         )
 
     return integrate
+
+
+def _mega_spp_kernel(
+    srange_ref, pixfold_ref, px_ref, py_ref, g_ref, go_ref, rec_ref,
+    accr_ref, accg_ref, accb_ref, rej_ref, *, cam, cam_site, consts,
+):
+    """Whole-RENDER kernel for one tile: an in-kernel ``fori_loop`` over
+    spp — per sample: derive the path key (same (seed, pixel, sample)
+    stream as sampling/rng.path_keys), jitter + generate the pinhole camera
+    ray (camera.py sample_rays baked to constants), trace the full path,
+    NaN/Inf/negative-reject (renderer.py semantics: any bad channel voids
+    the sample), and accumulate — radiance sums and reject counts leave
+    VMEM once per tile instead of once per sample.
+
+    ``srange_ref``: SMEM (2,) int32 [s0, n_spp] — dynamic, so one compile
+    serves every chunk size and resume offset.
+    """
+    pixfold = pixfold_ref[...]
+    px = px_ref[...]
+    py = py_ref[...]
+    shp = px.shape
+    s0 = srange_ref[0]
+    n_spp = srange_ref[1]
+    m = cam["m"]                        # 3x3 row-vector c2w rotation
+    inf = np.float32(np.inf)
+
+    def body(i, carry):
+        accr, accg, accb, rej = carry
+        key = _pcg(pixfold + (s0 + i).astype(jnp.uint32))
+        x1 = _pcg(key + cam_site)
+        x2 = _pcg(x1)
+        uvx = (px + _tof(x1)) * cam["inv_w"]
+        uvy = (py + _tof(x2)) * cam["inv_h"]
+        nx = (2.0 * uvx - 1.0) * cam["scale"]
+        ny = (1.0 - 2.0 * uvy) * cam["scale_over_aspect"]
+        # world dir = ndc @ c2w[:3,:3] with ndc z = -1 (camera.py:33-43)
+        dxw = nx * m[0][0] + ny * m[1][0] - m[2][0]
+        dyw = nx * m[0][1] + ny * m[1][1] - m[2][1]
+        dzw = nx * m[0][2] + ny * m[1][2] - m[2][2]
+        inv = 1.0 / jnp.sqrt(dxw * dxw + dyw * dyw + dzw * dzw)
+        dx, dy, dz = dxw * inv, dyw * inv, dzw * inv
+        ox = jnp.full(shp, cam["o"][0])
+        oy = jnp.full(shp, cam["o"][1])
+        oz = jnp.full(shp, cam["o"][2])
+        rr, rg, rb = _trace_body(
+            ox, oy, oz, dx, dy, dz, key, g_ref, go_ref, rec_ref, **consts,
+        )
+        ok = ((rr >= 0.0) & (rr < inf) & (rg >= 0.0) & (rg < inf)
+              & (rb >= 0.0) & (rb < inf))
+        accr = accr + jnp.where(ok, rr, 0.0)
+        accg = accg + jnp.where(ok, rg, 0.0)
+        accb = accb + jnp.where(ok, rb, 0.0)
+        rej = rej + jnp.where(ok, 0, 1).astype(jnp.int32)
+        return accr, accg, accb, rej
+
+    z = jnp.zeros(shp, jnp.float32)
+    accr, accg, accb, rej = lax.fori_loop(
+        0, n_spp, body, (z, z, z, jnp.zeros(shp, jnp.int32))
+    )
+    accr_ref[...] = accr
+    accg_ref[...] = accg
+    accb_ref[...] = accb
+    rej_ref[...] = rej
+
+
+def try_make_fused_spp_render(
+    scene, statics, camera, width, height, seed, max_depth, nee=True,
+    le_depth0_only=None, cosine_sampling=False, interpret=False, force=False,
+):
+    """Build ``render_chunk(s0, n_spp) -> (radiance_sum (N,3), n_rejected)``
+    running the whole spp chunk in one Pallas call, or None if the scene /
+    camera doesn't qualify. Bitwise-matches the per-sample RNG stream
+    (pixfold = pcg(pcg(seed) + pixel_id), key = pcg(pixfold + s))."""
+    from ..camera import PinholeCamera
+    from ..renderer import CAMERA_SITE
+    from ..sampling.rng import _pcg as rng_pcg, base_key
+
+    if not force:
+        try:
+            if jax.devices()[0].platform != "tpu":
+                return None
+        except Exception:
+            return None
+    if not isinstance(camera, PinholeCamera):
+        return None
+    if le_depth0_only is None:
+        le_depth0_only = nee
+    baked = _bake(scene, statics, max_depth, nee, le_depth0_only,
+                  cosine_sampling)
+    if baked is None:
+        return None
+    consts, g_chunks, go_chunks, rec_chunks, table_specs = baked
+
+    c2w = np.asarray(camera.c2w, np.float32)
+    scale = float(np.asarray(camera.scale))
+    aspect = float(np.asarray(camera.aspect))
+    cam = dict(
+        m=tuple(tuple(np.float32(c2w[i, j]) for j in range(3))
+                for i in range(3)),
+        o=tuple(np.float32(c2w[3, j]) for j in range(3)),
+        scale=np.float32(scale),
+        scale_over_aspect=np.float32(scale / aspect),
+        inv_w=np.float32(1.0 / width),
+        inv_h=np.float32(1.0 / height),
+    )
+
+    n = width * height
+    ids = np.arange(n, dtype=np.uint32)
+    pixfold = np.asarray(rng_pcg(base_key(seed) + jnp.asarray(ids)))
+    pxy = (ids % width).astype(np.float32), (ids // width).astype(np.float32)
+    n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    n_tiles = n_pad // RAY_TILE
+    grid_rows = n_tiles * RAY_ROWS
+
+    def lane(x):
+        return jnp.asarray(
+            np.pad(x, (0, n_pad - n)).reshape(grid_rows, RAY_LANES)
+        )
+
+    pixfold_l, px_l, py_l = lane(pixfold), lane(pxy[0]), lane(pxy[1])
+
+    kernel = partial(
+        _mega_spp_kernel, cam=cam,
+        cam_site=_site_const(CAMERA_SITE), consts=consts,
+    )
+    io_spec = pl.BlockSpec(
+        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct((grid_rows, RAY_LANES), jnp.float32)
+    rej_shape = jax.ShapeDtypeStruct((grid_rows, RAY_LANES), jnp.int32)
+
+    def render_chunk(s0, n_spp):
+        srange = jnp.stack([jnp.asarray(s0, jnp.int32),
+                            jnp.asarray(n_spp, jnp.int32)])
+        r, g, b, rej = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[smem_spec] + [io_spec] * 3 + table_specs,
+            out_specs=[io_spec] * 3 + [io_spec],
+            out_shape=[out_shape] * 3 + [rej_shape],
+            interpret=interpret,
+        )(srange, pixfold_l, px_l, py_l, g_chunks, go_chunks, rec_chunks)
+        rad = jnp.stack(
+            [r.reshape(-1)[:n], g.reshape(-1)[:n], b.reshape(-1)[:n]],
+            axis=-1,
+        )
+        return rad, rej.reshape(-1)[:n].sum()
+
+    return render_chunk

@@ -192,6 +192,14 @@ def make_path_integrator(
             le_depth0_only=le_depth0_only, cosine_sampling=cosine_sampling,
         )
         if fi is not None:
+            # advertise the whole-render fused path so WavefrontRenderer can
+            # upgrade to the in-kernel spp loop (megakernel.py
+            # try_make_fused_spp_render) when it owns the camera/seed
+            fi.fused_spec = dict(
+                scene=scene, statics=statics, max_depth=max_depth, nee=nee,
+                le_depth0_only=le_depth0_only,
+                cosine_sampling=cosine_sampling,
+            )
             return fi
 
     def integrate(rays: Rays, keys):

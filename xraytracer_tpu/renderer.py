@@ -100,6 +100,25 @@ def make_chunk_fn(sample_once, donate=True):
     return run_chunk
 
 
+def make_fused_chunk_fn(fused_render):
+    """Chunk runner over a whole-render fused kernel
+    (megakernel.try_make_fused_spp_render): ONE device call per spp chunk —
+    camera generation, path tracing, rejection, and accumulation all happen
+    in-kernel; s0/n_spp are dynamic so a single compile serves every chunk
+    size. Drop-in signature-compatible with make_chunk_fn's runner."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(acc, nrej, s0, n):
+        rad, rej = fused_render(s0, n)
+        return acc + rad, nrej + rej
+
+    def run_chunk(acc, nrej, pixel_ids, pixel_xy, s0, n, stats_acc=None):
+        acc, nrej = step(acc, nrej, jnp.int32(s0), jnp.int32(n))
+        return acc, nrej, stats_acc
+
+    return run_chunk
+
+
 @dataclass
 class RenderResult:
     image: np.ndarray      # (H, W, 3) float32, averaged radiance
@@ -193,7 +212,18 @@ class WavefrontRenderer:
         self.sample_once = make_sample_fn(
             scene, camera, integrate, width, height, seed
         )
-        self.run_chunk = make_chunk_fn(self.sample_once)
+        self.run_chunk = None
+        spec = getattr(integrate, "fused_spec", None)
+        if spec is not None and sharding is None:
+            from .integrators.megakernel import try_make_fused_spp_render
+
+            fused = try_make_fused_spp_render(
+                camera=camera, width=width, height=height, seed=seed, **spec
+            )
+            if fused is not None:
+                self.run_chunk = make_fused_chunk_fn(fused)
+        if self.run_chunk is None:
+            self.run_chunk = make_chunk_fn(self.sample_once)
 
     def render(
         self, spp, spp_chunk=None, accumulator=None, checkpoint_path=None
