@@ -123,19 +123,22 @@ def _bench_het_tracking():
     tp = jnp.ones((n, 3))
 
     @jax.jit
-    def run(seed):
-        keys = path_keys(seed, jnp.arange(n, dtype=jnp.int32), 0)
+    def run(keys):
         ms = sample_medium(
             tables, jnp.zeros((n,), jnp.int32), rays, t0v, t1v, tp, keys, 16,
             max_steps=128, has_heterogeneous=True,
         )
         return ms.weight
 
-    jax.block_until_ready(run(0))
+    # per-rep key sets hashed OUTSIDE jit (base_key needs a concrete seed);
+    # one compile serves every rep
+    key_sets = [path_keys(i, jnp.arange(n, dtype=jnp.int32), 0)
+                for i in range(6)]
+    jax.block_until_ready(run(key_sets[0]))
     reps = 5
     t0 = time.perf_counter()
     for i in range(1, 1 + reps):
-        out = run(i)
+        out = run(key_sets[i])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps * 1e3
 
@@ -149,7 +152,7 @@ def main():
                              ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 

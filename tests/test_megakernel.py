@@ -138,6 +138,70 @@ def test_fused_spp_render_matches_renderer():
     assert img.mean() > 1e-3
 
 
+@pytest.mark.parametrize("nee", [False, True])
+def test_fused_volume_matches_wavefront(nee):
+    """The fused homogeneous volume kernel (vol_megakernel.py) reproduces
+    the XLA wavefront volume integrator on the vpt preset scene at matched
+    RNG streams (same sites: RR, medium 16+k, floating NEE layout)."""
+    from xraytracer_tpu.integrators.vol_megakernel import (
+        try_make_fused_volume_integrator,
+    )
+    from xraytracer_tpu.integrators.volume import make_volume_integrator
+    from xraytracer_tpu.scene.presets import build_vpt_scene
+
+    tables = build_vpt_scene().build()
+    statics = scene_statics(tables)
+    fused = try_make_fused_volume_integrator(
+        tables, statics, max_depth=4, nee=nee, interpret=True, force=True,
+    )
+    assert fused is not None, "vpt scene must be volume-megakernel-eligible"
+    wave = make_volume_integrator(tables, statics, max_depth=4, nee=nee,
+                                  fused="never")
+    n = 1024
+    rng = np.random.default_rng(11)
+    o = np.tile(np.array([0.0, 0.0, 5.0], np.float32), (n, 1))
+    d = np.stack([rng.uniform(-0.3, 0.3, n), rng.uniform(-0.3, 0.3, n),
+                  -np.ones(n)], axis=-1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays(o=jnp.asarray(o), d=jnp.asarray(d))
+    keys = path_keys(5, jnp.arange(n, dtype=jnp.uint32), 0)
+    img_f = np.asarray(fused(rays, keys))
+    img_w = np.asarray(wave(rays, keys))
+    assert np.isfinite(img_f).all()
+    np.testing.assert_allclose(img_f, img_w, rtol=2e-3, atol=2e-3)
+    assert img_f.mean() > 1e-4
+
+
+def test_fused_volume_spp_render_matches_renderer():
+    """Whole-render volume kernel (in-kernel spp loop) vs the XLA
+    per-sample renderer on a small vpt render."""
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators.vol_megakernel import (
+        try_make_fused_volume_spp_render,
+    )
+    from xraytracer_tpu.integrators.volume import make_volume_integrator
+    from xraytracer_tpu.renderer import WavefrontRenderer
+    from xraytracer_tpu.scene.presets import preset_vpt
+
+    tables, cam_kwargs, _cfg = preset_vpt()
+    statics = scene_statics(tables)
+    w, h = 32, 32
+    camera = PinholeCamera.make(w / h, **cam_kwargs)
+    fused = try_make_fused_volume_spp_render(
+        tables, statics, camera, w, h, seed=2, max_depth=3, nee=True,
+        interpret=True, force=True,
+    )
+    assert fused is not None
+    wave = make_volume_integrator(tables, statics, max_depth=3, nee=True,
+                                  fused="never")
+    renderer = WavefrontRenderer(tables, camera, wave, w, h, seed=2)
+    ref = renderer.render(2)
+    rad, rej = fused(0, 2)
+    img = np.asarray(rad).reshape(h, w, 3) / 2.0
+    np.testing.assert_allclose(img, ref.image, rtol=2e-3, atol=2e-3)
+    assert int(rej) == ref.n_rejected
+
+
 def test_occluded_bool_kernel_matches_xla():
     """geometry.pallas_kernels.occluded_triangles_pallas (the in-kernel
     t_max compare) agrees with the XLA anyhit + epilogue compare."""

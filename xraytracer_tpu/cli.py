@@ -139,6 +139,23 @@ def main(argv=None):
     p.add_argument("-o", "--output", default=None)
     args = p.parse_args(argv)
 
+    # persistent compilation cache (shared with bench.py): the fused Pallas
+    # pipelines take seconds-to-minutes to compile; cached artifacts make
+    # repeat CLI renders start fast
+    import os as _os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     cfg = get_preset(
         args.preset,
         integrator=args.integrator, width=args.width, height=args.height,

@@ -624,8 +624,7 @@ def try_make_fused_path_integrator(
 
 
 def _mega_spp_kernel(
-    srange_ref, pixfold_ref, px_ref, py_ref, g_ref, go_ref, rec_ref,
-    accr_ref, accg_ref, accb_ref, rej_ref, *, cam, cam_site, consts,
+    srange_ref, pixfold_ref, px_ref, py_ref, *refs, cam, cam_site, trace,
 ):
     """Whole-RENDER kernel for one tile: an in-kernel ``fori_loop`` over
     spp — per sample: derive the path key (same (seed, pixel, sample)
@@ -636,8 +635,13 @@ def _mega_spp_kernel(
     VMEM once per tile instead of once per sample.
 
     ``srange_ref``: SMEM (2,) int32 [s0, n_spp] — dynamic, so one compile
-    serves every chunk size and resume offset.
+    serves every chunk size and resume offset. ``trace``: the path-trace
+    body (surface ``_trace_body`` or the volume one), called as
+    ``trace(ox, oy, oz, dx, dy, dz, key, *table_refs)``; ``refs`` carries
+    the trace's table refs followed by the 4 output refs.
     """
+    table_refs = refs[:-4]
+    accr_ref, accg_ref, accb_ref, rej_ref = refs[-4:]
     pixfold = pixfold_ref[...]
     px = px_ref[...]
     py = py_ref[...]
@@ -665,9 +669,7 @@ def _mega_spp_kernel(
         ox = jnp.full(shp, cam["o"][0])
         oy = jnp.full(shp, cam["o"][1])
         oz = jnp.full(shp, cam["o"][2])
-        rr, rg, rb = _trace_body(
-            ox, oy, oz, dx, dy, dz, key, g_ref, go_ref, rec_ref, **consts,
-        )
+        rr, rg, rb = trace(ox, oy, oz, dx, dy, dz, key, *table_refs)
         ok = ((rr >= 0.0) & (rr < inf) & (rg >= 0.0) & (rg < inf)
               & (rb >= 0.0) & (rb < inf))
         accr = accr + jnp.where(ok, rr, 0.0)
@@ -695,8 +697,6 @@ def try_make_fused_spp_render(
     camera doesn't qualify. Bitwise-matches the per-sample RNG stream
     (pixfold = pcg(pcg(seed) + pixel_id), key = pcg(pixfold + s))."""
     from ..camera import PinholeCamera
-    from ..renderer import CAMERA_SITE
-    from ..sampling.rng import _pcg as rng_pcg, base_key
 
     if not force:
         try:
@@ -713,6 +713,21 @@ def try_make_fused_spp_render(
     if baked is None:
         return None
     consts, g_chunks, go_chunks, rec_chunks, table_specs = baked
+    trace = partial(_trace_body, **consts)
+    return make_spp_render(
+        trace, (g_chunks, go_chunks, rec_chunks), table_specs,
+        camera, width, height, seed, interpret=interpret,
+    )
+
+
+def make_spp_render(
+    trace, tables, table_specs, camera, width, height, seed, interpret=False,
+):
+    """Assemble ``render_chunk(s0, n_spp)`` around any whole-path trace body
+    (surface or volume): bakes camera constants, precomputes the per-pixel
+    PCG fold and pixel coordinates, and wires ``_mega_spp_kernel``."""
+    from ..renderer import CAMERA_SITE
+    from ..sampling.rng import _pcg as rng_pcg, base_key
 
     c2w = np.asarray(camera.c2w, np.float32)
     scale = float(np.asarray(camera.scale))
@@ -744,7 +759,7 @@ def try_make_fused_spp_render(
 
     kernel = partial(
         _mega_spp_kernel, cam=cam,
-        cam_site=_site_const(CAMERA_SITE), consts=consts,
+        cam_site=_site_const(CAMERA_SITE), trace=trace,
     )
     io_spec = pl.BlockSpec(
         (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -759,11 +774,11 @@ def try_make_fused_spp_render(
         r, g, b, rej = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[smem_spec] + [io_spec] * 3 + table_specs,
+            in_specs=[smem_spec] + [io_spec] * 3 + list(table_specs),
             out_specs=[io_spec] * 3 + [io_spec],
             out_shape=[out_shape] * 3 + [rej_shape],
             interpret=interpret,
-        )(srange, pixfold_l, px_l, py_l, g_chunks, go_chunks, rec_chunks)
+        )(srange, pixfold_l, px_l, py_l, *tables)
         rad = jnp.stack(
             [r.reshape(-1)[:n], g.reshape(-1)[:n], b.reshape(-1)[:n]],
             axis=-1,

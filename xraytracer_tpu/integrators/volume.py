@@ -56,7 +56,7 @@ def _nee_site_layout(max_steps):
 
 def make_volume_integrator(
     scene, statics, max_depth, nee=False, max_steps=None, tri_fn=None,
-    n_iterations=None, differentiable=False, with_stats=False,
+    n_iterations=None, differentiable=False, with_stats=False, fused="auto",
 ):
     """Factory for both volume integrators (``nee`` selects the variant).
 
@@ -71,6 +71,28 @@ def make_volume_integrator(
     "rr_killed", "emitter_hits", "scattered", "active_out"), each of shape
     ``(n_iterations,)``, summed over the wavefront.
     """
+    # single-kernel fused path (vol_megakernel.py): on TPU, for eligible
+    # scenes (one homogeneous box + a few baked flat triangles + flat area
+    # lights — the reference vpt workload), the whole volume path integral
+    # runs inside ONE Pallas call; everything else keeps the wavefront.
+    if (
+        fused == "auto" and tri_fn is None and not with_stats
+        and not differentiable
+    ):
+        from .vol_megakernel import try_make_fused_volume_integrator
+
+        fi = try_make_fused_volume_integrator(
+            scene, statics, max_depth, nee=nee, max_steps=max_steps,
+            n_iterations=n_iterations,
+        )
+        if fi is not None:
+            fi.fused_spec = dict(
+                kind="volume", scene=scene, statics=statics,
+                max_depth=max_depth, nee=nee, max_steps=max_steps,
+                n_iterations=n_iterations,
+            )
+            return fi
+
     if max_steps is None:
         from ..media import default_max_steps
 

@@ -215,9 +215,16 @@ class WavefrontRenderer:
         self.run_chunk = None
         spec = getattr(integrate, "fused_spec", None)
         if spec is not None and sharding is None:
-            from .integrators.megakernel import try_make_fused_spp_render
-
-            fused = try_make_fused_spp_render(
+            spec = dict(spec)
+            if spec.pop("kind", "surface") == "volume":
+                from .integrators.vol_megakernel import (
+                    try_make_fused_volume_spp_render as _mk,
+                )
+            else:
+                from .integrators.megakernel import (
+                    try_make_fused_spp_render as _mk,
+                )
+            fused = _mk(
                 camera=camera, width=width, height=height, seed=seed, **spec
             )
             if fused is not None:
