@@ -104,16 +104,20 @@ def _bench_vpt():
 
 def _bench_het_tracking():
     """One bounded-loop delta-tracking wavefront on the procedural cloud:
-    65k lanes through sample_medium (the volume-path hot loop)."""
+    65k lanes through sample_medium (the volume-path hot loop). Uses the
+    fused Pallas tracking kernel (media_pallas) when the platform/scene
+    qualify — the same selection production makes in make_volume_integrator."""
     import jax
     import jax.numpy as jnp
 
     from xraytracer_tpu.geometry import Rays
     from xraytracer_tpu.media import sample_medium
+    from xraytracer_tpu.media_pallas import try_make_fused_het_sampler
     from xraytracer_tpu.sampling import path_keys
     from xraytracer_tpu.scene.presets import build_volume_scene
 
     tables = build_volume_scene().build()
+    het_fn = try_make_fused_het_sampler(tables, 128)
     n = 65536
     o = jnp.tile(jnp.asarray([[0.0, 0.0, 400.0]]), (n, 1))
     d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
@@ -126,7 +130,7 @@ def _bench_het_tracking():
     def run(keys):
         ms = sample_medium(
             tables, jnp.zeros((n,), jnp.int32), rays, t0v, t1v, tp, keys, 16,
-            max_steps=128, has_heterogeneous=True,
+            max_steps=128, has_heterogeneous=True, het_fn=het_fn,
         )
         return ms.weight
 

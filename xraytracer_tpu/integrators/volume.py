@@ -97,6 +97,19 @@ def make_volume_integrator(
         from ..media import default_max_steps
 
         max_steps = default_max_steps(scene)
+    # fused heterogeneous tracking kernels (media_pallas.py): on TPU, for
+    # eligible grids, the delta-tracking sample and the NEE ratio-tracking
+    # transmittance each run as ONE Pallas call per wavefront instead of
+    # one serialized density gather per candidate step
+    het_fn = het_tr_fn = None
+    if fused == "auto" and not differentiable and statics["has_heterogeneous"]:
+        from ..media_pallas import (
+            try_make_fused_het_sampler,
+            try_make_fused_het_transmittance,
+        )
+
+        het_fn = try_make_fused_het_sampler(scene, max_steps)
+        het_tr_fn = try_make_fused_het_transmittance(scene, max_steps)
     if differentiable and tri_fn is None:
         # the fused Pallas sweep has no reverse-mode rule; pin the XLA path
         from ..geometry.intersect import intersect_triangles_mm
@@ -152,7 +165,7 @@ def make_volume_integrator(
                 scene, jnp.where(has_med, med_idx, -1), cur, hit.t, hit.t1,
                 throughput, keys, site + _SITE_MEDIUM, max_steps=max_steps,
                 has_heterogeneous=statics["has_heterogeneous"],
-                differentiable=differentiable,
+                differentiable=differentiable, het_fn=het_fn,
             )
             scattered = has_med & ms.scattered
 
@@ -177,7 +190,7 @@ def make_volume_integrator(
                     jnp.where(ok & (s_med >= 0), s_med, -1),
                     srays.at(shit.t), srays.at(t1_fin),
                     keys, site + _SITE_NEE_TR, max_steps=max_steps,
-                    differentiable=differentiable,
+                    differentiable=differentiable, het_tr_fn=het_tr_fn,
                 )
                 visible = ok & ~s_has_surface
                 f = eval_phase(scene, jnp.where(has_med, med_idx, 0), d, ls.wi)

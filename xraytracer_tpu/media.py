@@ -196,21 +196,26 @@ def _majorant_segments(scene, med, rays, t0, t1):
 
     t0f = jnp.where(jnp.isfinite(t0), t0, 0.0)
     t1f = jnp.where(jnp.isfinite(t1), jnp.maximum(t1, t0f), t0f)
-    nudge = 1e-5 * (t1f - t0f) / _DDA_SEGMENTS + 1e-12
 
     nbf = nb.astype(jnp.float32)
+    # Integer-walk DDA: the block index advances along the exiting axis
+    # (first-min tie-break), so the majorant SEQUENCE is a function of
+    # integer state — robust to 1-ulp FMA-fusion differences between
+    # compiled pipelines (the fused kernel must reproduce these draws) and
+    # never stalls on block boundaries like the old refloor-plus-nudge
+    # formulation did.
     # UNROLLED on purpose: a lax.scan formulation of this loop compiles ~3x
     # SLOWER on the axon AOT compiler (970 s vs 332 s measured for one
     # sample_medium call site) at identical runtime — straight-line code is
     # the cheaper shape for this toolchain (see CLAUDE.md invariants)
+    x0 = a + t0f[:, None] * v
+    b = jnp.clip(jnp.floor(x0 / bs[None, :]), 0.0, nbf[None, :] - 1.0)
+    sgn = jnp.where(v >= 0.0, 1.0, -1.0)
+    axes3 = jnp.arange(3)
     seg_t = []
     seg_m = []
     t_cur = t0f
     for _ in range(_DDA_SEGMENTS):
-        x = a + t_cur[:, None] * v
-        b = jnp.clip(
-            jnp.floor(x / bs[None, :]), 0.0, nbf[None, :] - 1.0
-        )
         dens_max = _super_lookup(scene, b.astype(jnp.int32))
         m_loc = dens_max * dm * sigma_t_max
         # exit time of the current block along each axis
@@ -221,11 +226,15 @@ def _majorant_segments(scene, med, rays, t0, t1):
             v > 1e-20, (hi - a) / v_safe,
             jnp.where(v < -1e-20, (lo - a) / v_safe, jnp.inf),
         )
-        t_hi = jnp.minimum(jnp.min(t_exit_ax, axis=-1), t1f)
-        t_hi = jnp.maximum(t_hi, t_cur)     # monotonic safety
+        t_hi = jnp.min(t_exit_ax, axis=-1)
+        ax = jnp.argmin(t_exit_ax, axis=-1)
         seg_t.append(t_cur)
         seg_m.append(jnp.where(t_cur < t1f, m_loc, 0.0))
-        t_cur = jnp.minimum(t_hi + nudge, t1f + nudge)
+        b = jnp.clip(
+            b + (axes3[None, :] == ax[:, None]) * sgn,
+            0.0, nbf[None, :] - 1.0,
+        )
+        t_cur = jnp.minimum(jnp.maximum(t_hi, t_cur), t1f)
     # tail segment: global majorant over any remainder (fixed unroll ran out)
     t_tail = jnp.minimum(t_cur, t1f)
     seg_t.append(t_tail)
@@ -236,9 +245,13 @@ def _majorant_segments(scene, med, rays, t0, t1):
     ends = jnp.concatenate([seg_t[:, 1:], t1f[:, None]], axis=1)
     seg_len = jnp.maximum(ends - seg_t, 0.0)
     dtau = seg_m * seg_len
-    tau_edges = jnp.concatenate(
-        [jnp.zeros((n, 1)), jnp.cumsum(dtau, axis=1)], axis=1
-    )                                                    # (N, K+2)
+    # sequential (left-to-right) edge accumulation, matching the fused
+    # kernel (media_pallas) bit for bit — jnp.cumsum's scan tree rounds
+    # differently (~1e-4 at tau ~ 10), which would desync the two paths
+    edges = [jnp.zeros((n,))]
+    for k in range(dtau.shape[1]):
+        edges.append(edges[-1] + dtau[:, k])
+    tau_edges = jnp.stack(edges, axis=1)                 # (N, K+2)
     return seg_t, seg_m, tau_edges
 
 
@@ -317,7 +330,7 @@ def _sample_homogeneous(med, rays, t0, t1, path_throughput, keys, site):
 
 def _sample_heterogeneous(
     scene, med, rays, t0, t1, path_throughput, keys, site, max_steps,
-    differentiable=False,
+    differentiable=False, het_mask=None,
 ):
     """Weighted delta tracking with spectral MIS (reference:
     Src/medium.cpp:45-133), as a bounded masked ``while_loop`` over
@@ -424,9 +437,14 @@ def _sample_heterogeneous(
         return (step < max_steps) & jnp.any(active)
 
     _, m_entry = _tau_to_t(seg_t, seg_m, tau_edges, jnp.zeros((n,)))
+    # lanes outside the heterogeneous medium (masked out by the caller)
+    # must not drive the while_loop: a surface-hit lane carries t1 = INF
+    # (finite under isfinite!), whose tail segment would otherwise null-
+    # scatter to max_steps every call
+    active0 = jnp.ones((n,), bool) if het_mask is None else het_mask
     init = (
         jnp.int32(0),
-        jnp.ones((n,), bool),
+        active0,
         jnp.zeros((n,)),        # tau
         jnp.ones((n, 3)),
         sigma_a0,
@@ -459,14 +477,16 @@ def _sample_heterogeneous(
 def sample_medium(
     scene, med_idx, rays, t0, t1, path_throughput, keys, site,
     max_steps=256, has_heterogeneous=True, has_homogeneous=True,
-    differentiable=False,
+    differentiable=False, het_fn=None,
 ):
     """Wavefront ``Object::sampleMedium`` dispatch (reference:
     Src/primitive.cpp:63-74 -> Src/medium.h:148-277 / Src/medium.cpp:45-133).
 
     ``med_idx``: (N,) medium row per lane (-1 = no medium -> pass-through
     with weight 1). The static ``has_*`` flags (from ``scene_statics``) let
-    integrators skip compiling the unused branch entirely.
+    integrators skip compiling the unused branch entirely. ``het_fn``
+    (media_pallas.try_make_fused_het_sampler) replaces the XLA
+    heterogeneous tracking loop with the fused Pallas kernel.
     """
     med = gather_medium(scene, med_idx)
     n = rays.o.shape[0]
@@ -482,13 +502,20 @@ def sample_medium(
         parts.append(_sample_homogeneous(med, rays, t0, t1, path_throughput, keys, site))
         masks.append((med["mtype"] >= 0) & (med["mtype"] != MED_HETEROGENEOUS))
     if has_heterogeneous:
-        parts.append(
-            _sample_heterogeneous(
-                scene, med, rays, t0, t1, path_throughput, keys, site,
-                max_steps, differentiable=differentiable,
+        het_mask = med["mtype"] == MED_HETEROGENEOUS
+        if het_fn is not None:
+            parts.append(
+                het_fn(rays, t0, t1, path_throughput, keys, site, het_mask)
             )
-        )
-        masks.append(med["mtype"] == MED_HETEROGENEOUS)
+        else:
+            parts.append(
+                _sample_heterogeneous(
+                    scene, med, rays, t0, t1, path_throughput, keys, site,
+                    max_steps, differentiable=differentiable,
+                    het_mask=het_mask,
+                )
+            )
+        masks.append(het_mask)
 
     out = parts[0]
     for p, m in zip(parts[1:], masks[1:]):
@@ -503,6 +530,7 @@ def sample_medium(
 
 def segment_transmittance(
     scene, med_idx, p1, p2, keys, site, max_steps=256, differentiable=False,
+    het_tr_fn=None,
 ):
     """Transmittance between two points through one medium segment
     (reference: ``Object::sampleTransparency`` -> ``Medium::transmittance``;
@@ -524,50 +552,54 @@ def segment_transmittance(
     # heterogeneous: ratio tracking over collision candidates in optical-
     # depth space with piecewise block majorants (see _majorant_segments) —
     # unbiased: E[prod(sig_n/m)] over Poisson(m) arrivals = exp(-int sigma_t)
-    dm = med["density_mult"]
-    from .geometry.types import Rays as _Rays
-
-    srays = _Rays(o=p1, d=d)
-    seg_t, seg_m, tau_edges = _majorant_segments(
-        scene, med, srays, jnp.zeros((n,)), dist
-    )
-    tau_total = tau_edges[:, -1]
-
-    def body(state):
-        step, active, tau, tr = state
-        u = uniform1(keys, site + step)
-        tau_new = tau - jnp.log(jnp.maximum(1.0 - u, 1e-38))
-        esc = tau_new > tau_total
-        t_new, m_loc = _tau_to_t(seg_t, seg_m, tau_edges, tau_new)
-        dens = density_lookup(
-            scene, p1 + t_new[:, None] * d, use_packed=not differentiable
-        ) * dm
-        m_safe = jnp.where(m_loc <= 0.0, 1.0, m_loc)[:, None]
-        sig_n = jnp.maximum(
-            m_loc[:, None] - (med["sigma_a"] + med["sigma_s"]) * dens[:, None],
-            0.0,
-        )
-        tr_new = jnp.where(
-            (active & ~esc)[:, None], tr * sig_n / m_safe, tr
-        )
-        active = active & ~esc
-        tau = jnp.where(active, tau_new, tau)
-        return step + 1, active, tau, tr_new
-
-    def cond(state):
-        step, active = state[0], state[1]
-        return (step < max_steps) & jnp.any(active)
-
     is_het = med["mtype"] == MED_HETEROGENEOUS
-    init = (jnp.int32(0), is_het, jnp.zeros((n,)), jnp.ones((n, 3)))
-    if differentiable:
-        _, active, _, tr_r = lax.fori_loop(
-            0, max_steps, lambda i, st: body(st), init
-        )
+    if het_tr_fn is not None:
+        tr_r = het_tr_fn(p1, p2, keys, site, is_het)
     else:
-        _, active, _, tr_r = lax.while_loop(cond, body, init)
-    # exhausted lanes -> 0 (never biased bright)
-    tr_r = jnp.where(active[:, None], 0.0, tr_r)
+        dm = med["density_mult"]
+        from .geometry.types import Rays as _Rays
+
+        srays = _Rays(o=p1, d=d)
+        seg_t, seg_m, tau_edges = _majorant_segments(
+            scene, med, srays, jnp.zeros((n,)), dist
+        )
+        tau_total = tau_edges[:, -1]
+
+        def body(state):
+            step, active, tau, tr = state
+            u = uniform1(keys, site + step)
+            tau_new = tau - jnp.log(jnp.maximum(1.0 - u, 1e-38))
+            esc = tau_new > tau_total
+            t_new, m_loc = _tau_to_t(seg_t, seg_m, tau_edges, tau_new)
+            dens = density_lookup(
+                scene, p1 + t_new[:, None] * d, use_packed=not differentiable
+            ) * dm
+            m_safe = jnp.where(m_loc <= 0.0, 1.0, m_loc)[:, None]
+            sig_n = jnp.maximum(
+                m_loc[:, None]
+                - (med["sigma_a"] + med["sigma_s"]) * dens[:, None],
+                0.0,
+            )
+            tr_new = jnp.where(
+                (active & ~esc)[:, None], tr * sig_n / m_safe, tr
+            )
+            active = active & ~esc
+            tau = jnp.where(active, tau_new, tau)
+            return step + 1, active, tau, tr_new
+
+        def cond(state):
+            step, active = state[0], state[1]
+            return (step < max_steps) & jnp.any(active)
+
+        init = (jnp.int32(0), is_het, jnp.zeros((n,)), jnp.ones((n, 3)))
+        if differentiable:
+            _, active, _, tr_r = lax.fori_loop(
+                0, max_steps, lambda i, st: body(st), init
+            )
+        else:
+            _, active, _, tr_r = lax.while_loop(cond, body, init)
+        # exhausted lanes -> 0 (never biased bright)
+        tr_r = jnp.where(active[:, None], 0.0, tr_r)
 
     tr = jnp.where(is_het[:, None], tr_r, tr_h)
     return jnp.where((med["mtype"] >= 0)[:, None], tr, 1.0)

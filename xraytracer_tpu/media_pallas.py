@@ -1,0 +1,741 @@
+"""Fused Pallas TPU kernels for heterogeneous-medium tracking.
+
+Why: the XLA tracking loops in media.py pay one serialized HBM row-gather
+per collision candidate per lane for the fine trilinear density lookup
+(measured ~3.6 ms per 65k-lane lookup on the axon TPU; ~12 candidates per
+``sample_medium`` call -> ~43 of the 51.8 ms wavefront cost). TPU has no
+vector gather — but the MXU can SELECT: with the density grid resident in
+VMEM as a brick table, a per-lane one-hot matmul extracts each lane's
+9x9x9 brick in ~tens of microseconds per 4096-lane tile, so the whole
+delta-/ratio-tracking loop fuses into ONE kernel per wavefront with zero
+HBM round-trips between steps.
+
+Replaces the reference's per-ray null-collision loops
+(``HeterogeneousMedium::sampleMedium`` Src/medium.cpp:45-133 and
+``ratioTrackingTransmittance`` Src/medium.h:360-386) on the hot path; the
+algorithm is the same piecewise-majorant optical-depth formulation as
+media.py (``_majorant_segments`` / ``_sample_heterogeneous`` /
+``segment_transmittance``), reproduced draw-for-draw so both paths consume
+the identical counter-based PCG stream.
+
+Design notes:
+  * Brick table: the grid is cut into 8^3-cell blocks; each block's
+    payload is its 9^3 corner lattice (one-cell halo, edge-clamped) padded
+    to 128 lanes -> a (NB, 768) f32 table. Per candidate step and 512-lane
+    row, ``bricks^T @ one_hot`` (one MXU matmul) yields every lane's full
+    brick; the trilinear value is then a VPU weight-product reduce. Cost
+    scales as lanes x total-grid-cells, so eligibility is gated at
+    NB <= 512 blocks (e.g. a 64^3 grid); larger grids keep the XLA path.
+  * The matmul runs at DEFAULT (bf16) MXU precision. One-hot entries and
+    bf16-rounded payloads are exact in bf16, so the extraction is exact —
+    the kernel therefore samples the density field ROUNDED TO BF16
+    (relative 2^-8; the block majorants are recomputed over the rounded
+    field so the sig_n >= 0 null-collision invariant still holds and the
+    estimator stays unbiased w.r.t. the rounded field). PARITY.md
+    documents this divergence; pass a bf16-exact grid for bitwise runs.
+  * The supergrid DDA (24 fixed segments), the optical-depth inversion,
+    spectral-MIS channel selection, and the PCG draws all run in-kernel on
+    (8, 512) planes; the candidate loop is a ``lax.while_loop`` with a
+    tile-uniform early exit, so a tile only pays for its own worst lane.
+  * The tracking-site layout (site + step*SITES_PER_STEP + {0,1,2}) and
+    the hoisted phase draw (site + scat_step*SITES_PER_STEP + 3, drawn by
+    the XLA wrapper) match media.py exactly.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .constants import RAY_EPS
+from .scene.tables import MED_HETEROGENEOUS
+
+RAY_LANES = 512
+RAY_ROWS = 8
+RAY_TILE = RAY_LANES * RAY_ROWS
+_DDA_SEGMENTS = 24              # must match media._DDA_SEGMENTS
+_SITES_PER_STEP = 4             # must match media.SITES_PER_STEP
+BRICK = 8                       # grid cells per brick edge
+_PAYLOAD = 9 * 9 * 9            # corner lattice incl. +1 halo
+_PAYLOAD_PAD = 768
+MAX_BRICKS = 512                # one-hot matmul eligibility bound
+
+_GOLDEN = np.uint32(0x9E3779B9)
+_M1 = np.uint32(747796405)
+_A1 = np.uint32(2891336453)
+_M2 = np.uint32(277803737)
+_INV24 = np.float32(1.0 / (1 << 24))
+_TINY = np.float32(1e-38)
+
+
+def _pcg(x):
+    x = x * _M1 + _A1
+    word = ((x >> ((x >> np.uint32(28)) + np.uint32(4))) ^ x) * _M2
+    return (word >> np.uint32(22)) ^ word
+
+
+def _tof(u):
+    return (
+        lax.bitcast_convert_type(u >> np.uint32(8), jnp.int32)
+        .astype(jnp.float32) * _INV24
+    )
+
+
+def _u1_at(key, offs_i32):
+    """uniform1 at a runtime int32 scalar site offset (rng.uniform1 parity:
+    pcg(key + site * GOLDEN) with uint32 wraparound)."""
+    return _tof(_pcg(key + offs_i32.astype(jnp.uint32) * _GOLDEN))
+
+
+def round_bf16(a):
+    """f32 -> nearest bf16 -> f32 (the field the fused kernels sample)."""
+    import ml_dtypes
+
+    return np.asarray(a, np.float32).astype(ml_dtypes.bfloat16).astype(
+        np.float32
+    )
+
+
+def build_bricks(grid):
+    """(NB, 768) f32 brick table from a (X, Y, Z) grid: block (bx,by,bz)
+    holds the 9^3 corner lattice grid[bx*8 + px, ...] for px,py,pz in
+    [0, 8], edge-clamped; payload index p = (px*9 + py)*9 + pz. Rows padded
+    to a multiple of 8."""
+    g = np.asarray(grid, np.float32)
+    nb = [max(1, -(-s // BRICK)) for s in g.shape]
+    NB = nb[0] * nb[1] * nb[2]
+    nb_pad = max(8, ((NB + 7) // 8) * 8)
+    bricks = np.zeros((nb_pad, _PAYLOAD_PAD), np.float32)
+    # gather with clamped indices, vectorized over the payload lattice
+    px = np.arange(9)
+    for bx in range(nb[0]):
+        ix = np.minimum(bx * BRICK + px, g.shape[0] - 1)
+        for by in range(nb[1]):
+            iy = np.minimum(by * BRICK + px, g.shape[1] - 1)
+            for bz in range(nb[2]):
+                iz = np.minimum(bz * BRICK + px, g.shape[2] - 1)
+                pay = g[np.ix_(ix, iy, iz)]            # (9, 9, 9)
+                b = (bx * nb[1] + by) * nb[2] + bz
+                bricks[b, :_PAYLOAD] = pay.reshape(-1)
+    return bricks, tuple(nb)
+
+
+def _f3(v):
+    return tuple(np.float32(c) for c in np.asarray(v).reshape(-1)[:3])
+
+
+def het_pack(tables):
+    """Concrete-table eligibility + baked constants for the fused kernels,
+    or None. Requires exactly one heterogeneous medium and a grid small
+    enough for the VMEM brick table (<= MAX_BRICKS 8^3-cell blocks)."""
+    try:
+        med_type = np.asarray(tables.med_type)
+    except Exception:               # traced tables: cannot bake
+        return None
+    het = np.flatnonzero(med_type == MED_HETEROGENEOUS)
+    if het.size != 1:
+        return None
+    g = np.asarray(tables.grid_density, np.float32)
+    nb = [max(1, -(-s // BRICK)) for s in g.shape]
+    if nb[0] * nb[1] * nb[2] > MAX_BRICKS:
+        return None
+    row = int(het[0])
+    gq = round_bf16(g)
+    bricks, nb = build_bricks(gq)
+    # supergrid block maxima over the ROUNDED field, same partition as
+    # scene.builder (keeps the piecewise majorants valid upper bounds for
+    # the field the kernel actually samples)
+    from .scene.builder import supergrid_max
+
+    sg_nb = np.asarray(tables.grid_super_nb, np.int32)
+    sg_bs = np.asarray(tables.grid_super_bsize, np.float32)
+    sg = supergrid_max(gq, sg_nb, sg_bs).reshape(-1)
+    nsg = sg.shape[0]
+    nsg_pad = max(8, ((nsg + 7) // 8) * 8)
+    sg_col = np.zeros((nsg_pad, 1), np.float32)
+    sg_col[:nsg, 0] = sg
+
+    gmin = np.asarray(tables.grid_min, np.float32)
+    gmax = np.asarray(tables.grid_max, np.float32)
+    ext = gmax - gmin
+    res = np.asarray(g.shape, np.float32)
+    scale = (res - 1.0) / np.where(ext == 0.0, np.float32(1.0), ext)
+    sa = np.asarray(tables.med_sigma_a, np.float32)[row]
+    ss = np.asarray(tables.med_sigma_s, np.float32)[row]
+    return dict(
+        row=row,
+        bricks=jnp.asarray(bricks),
+        sg=jnp.asarray(sg_col),
+        nb=tuple(int(v) for v in nb),
+        consts=dict(
+            gmin=_f3(gmin), gmax=_f3(gmax), ext=_f3(ext),
+            res_m1=_f3(res - 1.0), scale=_f3(scale),
+            sg_nb=tuple(int(v) for v in sg_nb), sg_bs=_f3(sg_bs),
+            sigma_a=_f3(sa), sigma_s=_f3(ss),
+            sigma_t_max=np.float32((sa + ss).max()),
+            dm=np.float32(np.asarray(tables.med_density_mult)[row]),
+            majorant=np.float32(np.asarray(tables.med_majorant)[row]),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# in-kernel building blocks (all on (8, 512) planes unless noted)
+# --------------------------------------------------------------------------
+
+
+def _payload_coords():
+    """Static payload-lattice coordinates (px, py, pz) as (768, 512) int32
+    planes; p = (px*9 + py)*9 + pz. Computed once per kernel invocation
+    (loop-invariant; integer division by constants lowers fine on Mosaic —
+    verified by probe)."""
+    ii = lax.broadcasted_iota(jnp.int32, (_PAYLOAD_PAD, RAY_LANES), 0)
+    px = ii // 81
+    py = (ii // 9) - px * 9
+    pz = ii - (ii // 9) * 9
+    return px, py, pz
+
+
+def _density_rows(p3, bricks_ref, pcoords, c):
+    """Trilinear density of the bf16-rounded grid at world points ``p3``
+    ((8,512) per component), via per-row one-hot MXU brick extraction.
+
+    Bit-compatible with media.density_lookup on bf16-exact grids up to f32
+    summation order (the XLA path sums 8 corners, this sums the weighted
+    768-payload; both are exact selections of the same corner values)."""
+    gx, gy, gz = p3
+    inside = (
+        (gx >= c["gmin"][0]) & (gx <= c["gmax"][0])
+        & (gy >= c["gmin"][1]) & (gy <= c["gmax"][1])
+        & (gz >= c["gmin"][2]) & (gz <= c["gmax"][2])
+    )
+
+    def axis(p, k):
+        x = (p - c["gmin"][k]) / c["ext"][k] * c["res_m1"][k]
+        x = jnp.clip(x, 0.0, c["res_m1"][k])
+        x0 = jnp.floor(x)
+        return x0.astype(jnp.int32), x - x0
+
+    i0x, fx = axis(gx, 0)
+    i0y, fy = axis(gy, 1)
+    i0z, fz = axis(gz, 2)
+    nbx, nby, nbz = c["nb"]
+    bxi = i0x >> 3               # i0 // BRICK
+    byi = i0y >> 3
+    bzi = i0z >> 3
+    bflat = (bxi * np.int32(nby) + byi) * np.int32(nbz) + bzi
+    lx = i0x - (bxi << 3)
+    ly = i0y - (byi << 3)
+    lz = i0z - (bzi << 3)
+    px, py, pz = pcoords
+    nb_rows = bricks_ref.shape[0]
+    rows = []
+    for r in range(RAY_ROWS):
+        bf = bflat[r:r + 1, :]                              # (1, 512)
+        oh = (
+            lax.broadcasted_iota(jnp.int32, (nb_rows, RAY_LANES), 0)
+            == bf
+        ).astype(jnp.float32)
+        payload = lax.dot_general(
+            bricks_ref[...], oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # (768, 512)
+        lxr, fxr = lx[r:r + 1, :], fx[r:r + 1, :]
+        lyr, fyr = ly[r:r + 1, :], fy[r:r + 1, :]
+        lzr, fzr = lz[r:r + 1, :], fz[r:r + 1, :]
+        wx = jnp.where(px == lxr, 1.0 - fxr, 0.0) + jnp.where(
+            px == lxr + 1, fxr, 0.0
+        )
+        wy = jnp.where(py == lyr, 1.0 - fyr, 0.0) + jnp.where(
+            py == lyr + 1, fyr, 0.0
+        )
+        wz = jnp.where(pz == lzr, 1.0 - fzr, 0.0) + jnp.where(
+            pz == lzr + 1, fzr, 0.0
+        )
+        rows.append(
+            jnp.sum(payload * (wx * wy * wz), axis=0, keepdims=True)
+        )
+    val = jnp.concatenate(rows, axis=0)                     # (8, 512)
+    return jnp.where(inside, val, 0.0)
+
+
+def _super_rows(b3, sg_ref, c):
+    """Supergrid block max for (8,512) int32 block coords: per-row masked
+    reduce over the (NSG, 1) column (exact pick, no gather)."""
+    bx, by, bz = b3
+    _, nby, nbz = c["sg_nb"]
+    bflat = (bx * np.int32(nby) + by) * np.int32(nbz) + bz
+    nsg_rows = sg_ref.shape[0]
+    rows = []
+    for r in range(RAY_ROWS):
+        bf = bflat[r:r + 1, :]
+        oh = (
+            lax.broadcasted_iota(jnp.int32, (nsg_rows, RAY_LANES), 0) == bf
+        )
+        rows.append(
+            jnp.sum(jnp.where(oh, sg_ref[...], 0.0), axis=0, keepdims=True)
+        )
+    return jnp.concatenate(rows, axis=0)
+
+
+def _dda_segments(o3, d3, t0f, t1f, sg_ref, c):
+    """In-kernel port of media._majorant_segments: per-lane piecewise
+    majorants over [t0, t1]. Returns (seg_t, seg_m, tau_edges) as Python
+    lists of (8, 512) planes (lengths K+1, K+1, K+2)."""
+    ax_ = (o3[0] - c["gmin"][0]) * c["scale"][0]
+    ay_ = (o3[1] - c["gmin"][1]) * c["scale"][1]
+    az_ = (o3[2] - c["gmin"][2]) * c["scale"][2]
+    vx = d3[0] * c["scale"][0]
+    vy = d3[1] * c["scale"][1]
+    vz = d3[2] * c["scale"][2]
+    bs0, bs1, bs2 = c["sg_bs"]
+    nb0, nb1, nb2 = (np.float32(v) for v in c["sg_nb"])
+    eps20 = np.float32(1e-20)
+    inf = np.float32(np.inf)
+
+    def exit_ax(b, bsz, a, v):
+        lo = b * bsz
+        hi = (b + 1.0) * bsz
+        v_safe = jnp.where(jnp.abs(v) < eps20, eps20, v)
+        return jnp.where(
+            v > eps20, (hi - a) / v_safe,
+            jnp.where(v < -eps20, (lo - a) / v_safe, inf),
+        )
+
+    # integer-walk DDA (media._majorant_segments parity: block indices
+    # advance along the exiting axis, first-min tie-break)
+    bx = jnp.clip(jnp.floor((ax_ + t0f * vx) / bs0), 0.0, nb0 - 1.0)
+    by = jnp.clip(jnp.floor((ay_ + t0f * vy) / bs1), 0.0, nb1 - 1.0)
+    bz = jnp.clip(jnp.floor((az_ + t0f * vz) / bs2), 0.0, nb2 - 1.0)
+    sgx = jnp.where(vx >= 0.0, 1.0, -1.0)
+    sgy = jnp.where(vy >= 0.0, 1.0, -1.0)
+    sgz = jnp.where(vz >= 0.0, 1.0, -1.0)
+    seg_t, seg_m = [], []
+    t_cur = t0f
+    for _ in range(_DDA_SEGMENTS):
+        dens_max = _super_rows(
+            (bx.astype(jnp.int32), by.astype(jnp.int32),
+             bz.astype(jnp.int32)), sg_ref, c,
+        )
+        m_loc = dens_max * c["dm"] * c["sigma_t_max"]
+        ex = exit_ax(bx, bs0, ax_, vx)
+        ey = exit_ax(by, bs1, ay_, vy)
+        ez = exit_ax(bz, bs2, az_, vz)
+        t_hi = jnp.minimum(jnp.minimum(ex, ey), ez)
+        step_x = (ex <= ey) & (ex <= ez)        # argmin, first-min ties
+        step_y = ~step_x & (ey <= ez)
+        step_z = ~step_x & ~step_y
+        seg_t.append(t_cur)
+        seg_m.append(jnp.where(t_cur < t1f, m_loc, 0.0))
+        bx = jnp.clip(bx + jnp.where(step_x, sgx, 0.0), 0.0, nb0 - 1.0)
+        by = jnp.clip(by + jnp.where(step_y, sgy, 0.0), 0.0, nb1 - 1.0)
+        bz = jnp.clip(bz + jnp.where(step_z, sgz, 0.0), 0.0, nb2 - 1.0)
+        t_cur = jnp.minimum(jnp.maximum(t_hi, t_cur), t1f)
+    t_tail = jnp.minimum(t_cur, t1f)
+    seg_t.append(t_tail)
+    seg_m.append(jnp.where(t_tail < t1f, c["majorant"], 0.0))
+
+    tau_edges = [jnp.zeros_like(t0f)]
+    for k in range(_DDA_SEGMENTS + 1):
+        end = t1f if k == _DDA_SEGMENTS else seg_t[k + 1]
+        dtau = seg_m[k] * jnp.maximum(end - seg_t[k], 0.0)
+        tau_edges.append(tau_edges[-1] + dtau)
+    return seg_t, seg_m, tau_edges
+
+
+def _tau_to_t(seg_t, seg_m, tau_edges, tau):
+    """In-kernel media._tau_to_t: piecewise-linear inversion, unrolled
+    one-hot over the K+1 segments."""
+    nseg = len(seg_m)
+    k = -jnp.ones_like(tau, dtype=jnp.int32)
+    for j in range(nseg):
+        k = k + (tau_edges[j] <= tau).astype(jnp.int32)
+    k = jnp.clip(k, 0, nseg - 1)
+    m_loc = jnp.zeros_like(tau)
+    t_k = jnp.zeros_like(tau)
+    tau_k = jnp.zeros_like(tau)
+    for j in range(nseg):
+        sel = k == j
+        m_loc = jnp.where(sel, seg_m[j], m_loc)
+        t_k = jnp.where(sel, seg_t[j], t_k)
+        tau_k = jnp.where(sel, tau_edges[j], tau_k)
+    t = t_k + (tau - tau_k) / jnp.where(m_loc <= 0.0, 1.0, m_loc)
+    return t, m_loc
+
+
+def _by_channel(channel, v0, v1, v2):
+    return jnp.where(channel == 0, v0, jnp.where(channel == 1, v1, v2))
+
+
+def _pick_channel(w0, w1, w2, u):
+    """sampling.sample_channel parity: pmf proportional to weights with a
+    uniform fallback on zero sum; lower_bound with the x==0 bump."""
+    s = w0 + w1 + w2
+    pos = s > 0.0
+    sg = jnp.where(s == 0.0, 1.0, s)
+    third = np.float32(1.0 / 3.0)
+    pmf0 = jnp.where(pos, w0 / sg, third)
+    pmf1 = jnp.where(pos, w1 / sg, third)
+    pmf2 = jnp.where(pos, w2 / sg, third)
+    c1 = pmf0
+    c2 = pmf0 + pmf1
+    x = (
+        (0.0 < u).astype(jnp.int32)
+        + (c1 < u).astype(jnp.int32)
+        + (c2 < u).astype(jnp.int32)
+    )
+    channel = jnp.maximum(x, 1) - 1
+    return channel, (pmf0, pmf1, pmf2)
+
+
+# --------------------------------------------------------------------------
+# kernels
+# --------------------------------------------------------------------------
+
+
+def _sample_kernel(
+    site_ref, ox, oy, oz, dx, dy, dz, t0, t1, tp0, tp1, tp2, key, hmask,
+    bricks_ref, sg_ref, t_out, w0_out, w1_out, w2_out, scat_out, step_out,
+    *, c, max_steps,
+):
+    """Fused media._sample_heterogeneous for one (8, 512) tile."""
+    site = site_ref[0]
+    o3 = (ox[...], oy[...], oz[...])
+    d3 = (dx[...], dy[...], dz[...])
+    key_v = key[...]
+    active0 = hmask[...] > 0
+    t0v, t1v = t0[...], t1[...]
+    t0f = t0v
+    t1f = jnp.maximum(t1v, t0f)
+    tpv = (tp0[...], tp1[...], tp2[...])
+
+    seg_t, seg_m, tau_edges = _dda_segments(o3, d3, t0f, t1f, sg_ref, c)
+    tau_total = tau_edges[-1] - np.float32(RAY_EPS) * c["majorant"]
+    pcoords = _payload_coords()
+
+    # entry sigma_a for the first channel pick (Src/medium.cpp:52-54)
+    p_entry = tuple(o3[k] + t0v * d3[k] for k in range(3))
+    dens0 = _density_rows(p_entry, bricks_ref, pcoords, c) * c["dm"]
+    sa_init = tuple(c["sigma_a"][k] * dens0 for k in range(3))
+    _, m_entry = _tau_to_t(seg_t, seg_m, tau_edges, jnp.zeros_like(t0f))
+    m_entry = jnp.maximum(m_entry, 0.0)
+
+    zero = jnp.zeros_like(t0f)
+    one = jnp.ones_like(t0f)
+
+    def body(state):
+        (step, act, tau, w0, w1, w2, sa0, sa1, sa2, m_prev, t_res, sstep,
+         scat_acc) = state
+        active = act > 0
+        offs = site + step * np.int32(_SITES_PER_STEP)
+        u_wl = _u1_at(key_v, offs)
+        u_dist = _u1_at(key_v, offs + 1)
+        u_ev = _u1_at(key_v, offs + 2)
+
+        m_prev_s = jnp.where(m_prev <= 0.0, 1.0, m_prev)
+        alb = tuple(
+            jnp.maximum((m_prev - sa) / m_prev_s, 0.0)
+            for sa in (sa0, sa1, sa2)
+        )
+        channel, pmf = _pick_channel(
+            tpv[0] * w0 * alb[0], tpv[1] * w1 * alb[1], tpv[2] * w2 * alb[2],
+            u_wl,
+        )
+
+        dtau = -jnp.log(jnp.maximum(1.0 - u_dist, _TINY))
+        tau_new = tau + dtau
+
+        esc = tau_new > tau_total
+        tr_esc = jnp.exp(-(tau_total - tau))
+        pdf_esc = (pmf[0] + pmf[1] + pmf[2]) * tr_esc
+        pe = jnp.where(pdf_esc == 0.0, 1.0, pdf_esc)
+        w_esc = tuple(w * tr_esc / pe for w in (w0, w1, w2))
+
+        t_new, m_loc = _tau_to_t(seg_t, seg_m, tau_edges, tau_new)
+        m_safe = jnp.where(m_loc <= 0.0, 1.0, m_loc)
+        p3 = tuple(o3[k] + t_new * d3[k] for k in range(3))
+        dens = _density_rows(p3, bricks_ref, pcoords, c) * c["dm"]
+        sig_s = tuple(c["sigma_s"][k] * dens for k in range(3))
+        sig_a = tuple(c["sigma_a"][k] * dens for k in range(3))
+        sig_n = tuple(
+            jnp.maximum(m_loc - sig_a[k] - sig_s[k], 0.0) for k in range(3)
+        )
+        denom = tuple(
+            jnp.where(sig_s[k] + sig_n[k] == 0.0, 1.0, sig_s[k] + sig_n[k])
+            for k in range(3)
+        )
+        p_s = tuple(sig_s[k] / denom[k] for k in range(3))
+        p_n = tuple(sig_n[k] / denom[k] for k in range(3))
+        p_s_c = _by_channel(channel, *p_s)
+
+        tr_s = jnp.exp(-dtau)
+        pdf_sc = (
+            pmf[0] * m_safe * tr_s * p_s[0]
+            + pmf[1] * m_safe * tr_s * p_s[1]
+            + pmf[2] * m_safe * tr_s * p_s[2]
+        )
+        ps_safe = jnp.where(pdf_sc == 0.0, 1.0, pdf_sc)
+        w_cur = (w0, w1, w2)
+        w_scat = tuple(
+            w_cur[k] * tr_s * sig_s[k] / ps_safe for k in range(3)
+        )
+        pdf_nl = (
+            pmf[0] * m_safe * tr_s * p_n[0]
+            + pmf[1] * m_safe * tr_s * p_n[1]
+            + pmf[2] * m_safe * tr_s * p_n[2]
+        )
+        pn_safe = jnp.where(pdf_nl == 0.0, 1.0, pdf_nl)
+        w_null = tuple(
+            w_cur[k] * tr_s * sig_n[k] / pn_safe for k in range(3)
+        )
+
+        scat = ~esc & (u_ev < p_s_c)
+        a_esc = active & esc
+        a_scat = active & scat
+        cont = active & ~esc & ~scat
+        t_res = jnp.where(a_esc, t1v + np.float32(RAY_EPS), t_res)
+        t_res = jnp.where(a_scat, t_new, t_res)
+        sstep = jnp.where(a_scat, step, sstep)
+        scat_acc = jnp.where(a_scat, 1, scat_acc)
+        w_out = []
+        for k in range(3):
+            w = jnp.where(a_esc, w_esc[k], w_cur[k])
+            w = jnp.where(a_scat, w_scat[k], w)
+            w_out.append(jnp.where(cont, w_null[k], w))
+        act_new = cont.astype(jnp.int32)
+        tau = jnp.where(cont, tau_new, tau)
+        return (
+            step + 1, act_new, tau, w_out[0], w_out[1], w_out[2],
+            sig_a[0], sig_a[1], sig_a[2], m_loc, t_res, sstep, scat_acc,
+        )
+
+    def cond(state):
+        return (state[0] < max_steps) & (jnp.sum(state[1]) > 0)
+
+    init = (
+        jnp.int32(0), active0.astype(jnp.int32), zero, one, one, one,
+        sa_init[0], sa_init[1], sa_init[2], m_entry,
+        t1v + np.float32(RAY_EPS), jnp.zeros_like(t0f, dtype=jnp.int32),
+        jnp.zeros_like(t0f, dtype=jnp.int32),
+    )
+    out = lax.while_loop(cond, body, init)
+    (_, act, _, w0, w1, w2, _, _, _, _, t_res, sstep, scat_acc) = out
+    # exhausted lanes: weight 0 (bounded-loop policy, media.py)
+    alive = act > 0
+    t_out[...] = t_res
+    w0_out[...] = jnp.where(alive, 0.0, w0)
+    w1_out[...] = jnp.where(alive, 0.0, w1)
+    w2_out[...] = jnp.where(alive, 0.0, w2)
+    scat_out[...] = scat_acc.astype(jnp.float32)
+    step_out[...] = sstep.astype(jnp.float32)
+
+
+def _transmittance_kernel(
+    site_ref, p1x, p1y, p1z, p2x, p2y, p2z, key, hmask, bricks_ref, sg_ref,
+    t0_out, t1_out, t2_out, *, c, max_steps,
+):
+    """Fused ratio-tracking transmittance (media.segment_transmittance het
+    branch; reference: Src/medium.h:360-386)."""
+    site = site_ref[0]
+    o3 = (p1x[...], p1y[...], p1z[...])
+    q3 = (p2x[...], p2y[...], p2z[...])
+    key_v = key[...]
+    active0 = hmask[...] > 0
+    dvx = q3[0] - o3[0]
+    dvy = q3[1] - o3[1]
+    dvz = q3[2] - o3[2]
+    dist = jnp.sqrt(dvx * dvx + dvy * dvy + dvz * dvz)
+    safe = jnp.where(dist == 0.0, 1.0, dist)
+    d3 = (dvx / safe, dvy / safe, dvz / safe)
+    zero = jnp.zeros_like(dist)
+
+    seg_t, seg_m, tau_edges = _dda_segments(o3, d3, zero, dist, sg_ref, c)
+    tau_total = tau_edges[-1]
+    pcoords = _payload_coords()
+
+    def body(state):
+        step, act, tau, tr0, tr1, tr2 = state
+        active = act > 0
+        u = _u1_at(key_v, site + step)
+        tau_new = tau - jnp.log(jnp.maximum(1.0 - u, _TINY))
+        esc = tau_new > tau_total
+        t_new, m_loc = _tau_to_t(seg_t, seg_m, tau_edges, tau_new)
+        p3 = tuple(o3[k] + t_new * d3[k] for k in range(3))
+        dens = _density_rows(p3, bricks_ref, pcoords, c) * c["dm"]
+        m_safe = jnp.where(m_loc <= 0.0, 1.0, m_loc)
+        upd = active & ~esc
+        trs = []
+        for k, tr in enumerate((tr0, tr1, tr2)):
+            sig_n = jnp.maximum(
+                m_loc - (c["sigma_a"][k] + c["sigma_s"][k]) * dens, 0.0
+            )
+            trs.append(jnp.where(upd, tr * sig_n / m_safe, tr))
+        act_new = upd.astype(jnp.int32)
+        tau = jnp.where(upd, tau_new, tau)
+        return step + 1, act_new, tau, trs[0], trs[1], trs[2]
+
+    def cond(state):
+        return (state[0] < max_steps) & (jnp.sum(state[1]) > 0)
+
+    init = (
+        jnp.int32(0), active0.astype(jnp.int32), zero,
+        jnp.ones_like(dist), jnp.ones_like(dist), jnp.ones_like(dist),
+    )
+    _, act, _, tr0, tr1, tr2 = lax.while_loop(cond, body, init)
+    alive = act > 0                 # exhausted -> 0 (never biased bright)
+    t0_out[...] = jnp.where(alive, 0.0, tr0)
+    t1_out[...] = jnp.where(alive, 0.0, tr1)
+    t2_out[...] = jnp.where(alive, 0.0, tr2)
+
+
+# --------------------------------------------------------------------------
+# host wrappers
+# --------------------------------------------------------------------------
+
+
+def _pallas_het_call(kernel, n_in, n_out, pack, interpret):
+    bricks, sg = pack["bricks"], pack["sg"]
+    io = pl.BlockSpec(
+        (RAY_ROWS, RAY_LANES), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, s: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    def call(planes, site, n_tiles):
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[io] * n_in + [full(bricks.shape), full(sg.shape)],
+            out_specs=[io] * n_out,
+        )
+        shp = (n_tiles * RAY_ROWS, RAY_LANES)
+        out_shape = [jax.ShapeDtypeStruct(shp, jnp.float32)] * n_out
+        return pl.pallas_call(
+            kernel, grid_spec=gs, out_shape=out_shape, interpret=interpret,
+        )(site, *planes, bricks, sg)
+
+    return call
+
+
+def _to_planes(n, cols):
+    """(N,) columns -> padded (n_tiles*8, 512) planes + tile count."""
+    n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    n_tiles = n_pad // RAY_TILE
+
+    def lane(x):
+        if n_pad != n:
+            x = jnp.pad(x, (0, n_pad - n))
+        return x.reshape(n_tiles * RAY_ROWS, RAY_LANES)
+
+    return [lane(x) for x in cols], n_tiles
+
+
+def _is_tpu():
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def try_make_fused_het_sampler(
+    tables, max_steps, interpret=False, force=False,
+):
+    """Fused ``het_fn`` for media.sample_medium (same contract as
+    ``_sample_heterogeneous``: (rays, t0, t1, tp, keys, site, het_mask) ->
+    MediumSample), or None if the scene/platform is ineligible."""
+    if not force and not _is_tpu():
+        return None
+    pack = het_pack(tables)
+    if pack is None:
+        return None
+    c = dict(pack["consts"])
+    c["nb"] = pack["nb"]
+    kernel = partial(_sample_kernel, c=c, max_steps=int(max_steps))
+    call = _pallas_het_call(kernel, 13, 6, pack, interpret)
+
+    from .media import MediumSample, SITES_PER_STEP
+    from .sampling import uniform2
+    from .sampling.warps import hg_sample_direction
+
+    g_hg = float(np.asarray(tables.med_g)[pack["row"]])
+
+    def het_fn(rays, t0, t1, path_throughput, keys, site, het_mask):
+        n = rays.o.shape[0]
+        t0s = jnp.where(het_mask, t0, 0.0)
+        t1s = jnp.where(het_mask, t1, 0.0)
+        planes, n_tiles = _to_planes(n, [
+            rays.o[:, 0], rays.o[:, 1], rays.o[:, 2],
+            rays.d[:, 0], rays.d[:, 1], rays.d[:, 2],
+            t0s, t1s,
+            path_throughput[:, 0], path_throughput[:, 1],
+            path_throughput[:, 2],
+        ])
+        kplane, _ = _to_planes(n, [keys.astype(jnp.uint32)])
+        mplane, _ = _to_planes(n, [het_mask.astype(jnp.int32)])
+        site_arr = jnp.asarray(site, jnp.int32).reshape(1)
+        t_res, w0, w1, w2, scat, sstep = call(
+            planes + kplane + mplane, site_arr, n_tiles
+        )
+
+        def flat(x):
+            return x.reshape(-1)[:n]
+
+        t_res = flat(t_res)
+        weight = jnp.stack([flat(w0), flat(w1), flat(w2)], axis=-1)
+        scattered = flat(scat) > 0.0
+        scat_step = flat(sstep).astype(jnp.int32)
+        # hoisted phase draw at the recorded scatter step's site (media.py)
+        u_ph = uniform2(keys, site + scat_step * SITES_PER_STEP + 3)
+        new_dir, _ = hg_sample_direction(
+            rays.d, u_ph[:, 0], u_ph[:, 1], jnp.full((n,), g_hg)
+        )
+        d = jnp.where(scattered[:, None], new_dir, rays.d)
+        # NaN guard (media.py / Src/medium.cpp:83-91)
+        weight = jnp.where(
+            jnp.isnan(weight).any(axis=-1, keepdims=True), 0.0, weight
+        )
+        return MediumSample(
+            pos=rays.at(t_res), dir=d, weight=weight, scattered=scattered
+        )
+
+    return het_fn
+
+
+def try_make_fused_het_transmittance(
+    tables, max_steps, interpret=False, force=False,
+):
+    """Fused ``het_tr_fn`` for media.segment_transmittance: (p1, p2, keys,
+    site, het_mask) -> (N, 3) ratio-tracked transmittance, or None."""
+    if not force and not _is_tpu():
+        return None
+    pack = het_pack(tables)
+    if pack is None:
+        return None
+    c = dict(pack["consts"])
+    c["nb"] = pack["nb"]
+    kernel = partial(_transmittance_kernel, c=c, max_steps=int(max_steps))
+    call = _pallas_het_call(kernel, 8, 3, pack, interpret)
+
+    def het_tr_fn(p1, p2, keys, site, het_mask):
+        n = p1.shape[0]
+        p2s = jnp.where(het_mask[:, None], p2, p1)
+        planes, n_tiles = _to_planes(n, [
+            p1[:, 0], p1[:, 1], p1[:, 2], p2s[:, 0], p2s[:, 1], p2s[:, 2],
+        ])
+        kplane, _ = _to_planes(n, [keys.astype(jnp.uint32)])
+        mplane, _ = _to_planes(n, [het_mask.astype(jnp.int32)])
+        site_arr = jnp.asarray(site, jnp.int32).reshape(1)
+        tr0, tr1, tr2 = call(planes + kplane + mplane, site_arr, n_tiles)
+
+        def flat(x):
+            return x.reshape(-1)[:n]
+
+        return jnp.stack([flat(tr0), flat(tr1), flat(tr2)], axis=-1)
+
+    return het_tr_fn

@@ -38,6 +38,31 @@ from .tables import (
 # multiples of 128 (the multi-chunk kernels require it). Small scenes pay
 # only for their rounded-up rows (Cornell: 36 real triangles -> 40 rows,
 # not 64 — the sweep kernels are VPU-bound in the row count).
+def supergrid_max(gd, super_nb, super_bs):
+    """Block-max supergrid over a dense grid: block (bx,by,bz) is the max
+    over the inclusive corner range [floor(b*B), min(ceil((b+1)*B), n-1)]
+    (one-ring overlap bounds every trilinear value in the block). Shared by
+    the SceneBuilder and the fused tracking kernels (media_pallas.py, which
+    recomputes maxima over the bf16-rounded field)."""
+    gd = np.asarray(gd, np.float32)
+    sg = np.zeros(tuple(int(v) for v in super_nb), np.float32)
+    for bx in range(int(super_nb[0])):
+        x0 = int(np.floor(bx * super_bs[0]))
+        x1 = min(int(np.ceil((bx + 1) * super_bs[0])), gd.shape[0] - 1)
+        for by in range(int(super_nb[1])):
+            y0 = int(np.floor(by * super_bs[1]))
+            y1 = min(int(np.ceil((by + 1) * super_bs[1])), gd.shape[1] - 1)
+            for bz in range(int(super_nb[2])):
+                z0 = int(np.floor(bz * super_bs[2]))
+                z1 = min(
+                    int(np.ceil((bz + 1) * super_bs[2])), gd.shape[2] - 1
+                )
+                sg[bx, by, bz] = gd[
+                    x0:x1 + 1, y0:y1 + 1, z0:z1 + 1
+                ].max(initial=0.0)
+    return sg
+
+
 def _tri_pad(n):
     if n <= 128:
         return max(8, ((n + 7) // 8) * 8)
@@ -375,22 +400,7 @@ class SceneBuilder:
         super_bs = (
             np.maximum(np.asarray(gd.shape, f32) - 1.0, 1.0) / super_nb
         ).astype(f32)
-        sg = np.zeros(tuple(super_nb), f32)
-        for bx in range(super_nb[0]):
-            x0 = int(np.floor(bx * super_bs[0]))
-            x1 = min(int(np.ceil((bx + 1) * super_bs[0])), gd.shape[0] - 1)
-            for by in range(super_nb[1]):
-                y0 = int(np.floor(by * super_bs[1]))
-                y1 = min(int(np.ceil((by + 1) * super_bs[1])), gd.shape[1] - 1)
-                for bz in range(super_nb[2]):
-                    z0 = int(np.floor(bz * super_bs[2]))
-                    z1 = min(
-                        int(np.ceil((bz + 1) * super_bs[2])), gd.shape[2] - 1
-                    )
-                    sg[bx, by, bz] = gd[
-                        x0:x1 + 1, y0:y1 + 1, z0:z1 + 1
-                    ].max(initial=0.0)
-        super_flat = sg.reshape(-1)
+        super_flat = supergrid_max(gd, super_nb, super_bs).reshape(-1)
 
         def arr(x, dtype=f32):
             return jnp.asarray(np.asarray(x, dtype))
