@@ -300,3 +300,26 @@ def test_many_lights_one_sample_nee():
         24, 24, 2, seed=3,
     )
     assert int(r_st.stats["shadow_rays"][0]) <= 24 * 24 * 2
+
+
+def test_pixel_order_morton_image_identical():
+    """Z-order lane traversal (renderer.pixel_grid(order="morton")) must
+    produce the bitwise-identical image to raster order: per-pixel RNG
+    streams are functions of the PIXEL ID, and assembly un-permutes."""
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators import make_path_integrator
+    from xraytracer_tpu.renderer import WavefrontRenderer
+    from xraytracer_tpu.scene.builder import scene_statics
+    from xraytracer_tpu.scene.presets import build_cornell_box, cornell_camera
+
+    tables = build_cornell_box().build()
+    statics = scene_statics(tables)
+    cam = PinholeCamera.make(16 / 12, **cornell_camera())
+    integ = make_path_integrator(tables, statics, 2, nee=True)
+    imgs = []
+    for order in ("raster", "morton"):
+        r = WavefrontRenderer(
+            tables, cam, integ, 16, 12, seed=0, pixel_order=order
+        )
+        imgs.append(r.render(2).image)
+    np.testing.assert_array_equal(imgs[0], imgs[1])

@@ -34,6 +34,12 @@ RAY_LANES = 512         # rays per kernel row
 RAY_ROWS = 8            # rows per grid step
 RAY_TILE = RAY_LANES * RAY_ROWS  # 4096 rays per grid step
 TRI_CHUNK = 128         # triangles per in-kernel chunk
+# Chunks per streamed group (16 * 128 = 2048 tris). Empirically the scoped-
+# VMEM cost of the sweep kernels scales ~0.5 MB per chunk IN THE GROUP on
+# the axon Mosaic backend (measured: 64-chunk groups allocate 32 MB > the
+# 16 MB limit; 16-chunk groups fit) — the streamed-group grid keeps total
+# mesh size unbounded either way.
+CHUNK_GROUP = 16
 
 _BIG = np.float32(3.0e38)
 
@@ -43,30 +49,51 @@ _IDX_MASK = np.int32(0x7F)       # low 7 bits carry the chunk-local triangle
 
 
 def _sweep_kernel(
-    f_ref, g_ref, t_ref, i_ref, u_ref, v_ref, *, n_chunks, tc, use_mxu=True,
-    anyhit=False,
+    f_ref, g_ref, ab_ref, t_ref, i_ref, u_ref, v_ref, bk_scr, *, cpg, tc,
+    use_mxu=True, anyhit=False,
 ):
     _sweep_kernel_impl(
-        f_ref, g_ref, None, t_ref, i_ref, u_ref, v_ref, None,
-        n_chunks=n_chunks, tc=tc, use_mxu=use_mxu, anyhit=anyhit,
+        f_ref, g_ref, None, ab_ref, t_ref, i_ref, u_ref, v_ref, None,
+        bk_scr, cpg=cpg, tc=tc, use_mxu=use_mxu, anyhit=anyhit,
     )
 
 
 def _sweep_kernel_rec(
-    f_ref, g_ref, rec_ref_in, t_ref, i_ref, u_ref, v_ref, rec_ref, *,
-    n_chunks, tc, use_mxu=True,
+    f_ref, g_ref, rec_ref_in, ab_ref, t_ref, i_ref, u_ref, v_ref, rec_ref,
+    bk_scr, *, cpg, tc, use_mxu=True,
 ):
     _sweep_kernel_impl(
-        f_ref, g_ref, rec_ref_in, t_ref, i_ref, u_ref, v_ref, rec_ref,
-        n_chunks=n_chunks, tc=tc, use_mxu=use_mxu, anyhit=False,
+        f_ref, g_ref, rec_ref_in, ab_ref, t_ref, i_ref, u_ref, v_ref,
+        rec_ref, bk_scr, cpg=cpg, tc=tc, use_mxu=use_mxu, anyhit=False,
     )
 
 
+def _row_slab(ab_ref, c, o_row, inv_row):
+    """Per-lane slab test of one 512-lane row against chunk ``c``'s AABB
+    (row c of the (n_chunks, 8) lo3|hi3|pad table, scalars read from
+    VMEM). Returns (tmin, tmax), each (1, 512)."""
+    tmin = jnp.full_like(o_row[0], -_BIG)
+    tmax = jnp.full_like(o_row[0], _BIG)
+    for k in range(3):
+        ta = (ab_ref[c, k] - o_row[k]) * inv_row[k]
+        tb = (ab_ref[c, k + 3] - o_row[k]) * inv_row[k]
+        tmin = jnp.maximum(tmin, jnp.minimum(ta, tb))
+        tmax = jnp.minimum(tmax, jnp.maximum(ta, tb))
+    return tmin, tmax
+
+
 def _sweep_kernel_impl(
-    f_ref, g_ref, rec_in, t_ref, i_ref, u_ref, v_ref, rec_out, *,
-    n_chunks, tc, use_mxu=True, anyhit=False,
+    f_ref, g_ref, rec_in, ab_ref, t_ref, i_ref, u_ref, v_ref, rec_out,
+    bk_scr, *, cpg, tc, use_mxu=True, anyhit=False,
 ):
-    """One 4096-ray tile vs. all triangle chunks.
+    """One 4096-ray tile vs. one GROUP of ``cpg`` triangle chunks.
+
+    The grid is (ray tiles, chunk groups): the chunk-group dimension
+    streams the (possibly huge) triangle tables HBM -> VMEM one group at a
+    time (Pallas double-buffers the blocks), so mesh size is bounded by
+    HBM, not VMEM. Winner state persists across groups in the OUTPUT refs
+    plus a packed-key VMEM scratch (``bk_scr``), re-initialized at group 0
+    of every tile.
 
     f_ref: (10, RAY_TILE) ray features; g_ref: (n_chunks, 4*tc, 10)
     chunk-grouped triangle features (row sections [det | u | v | t]);
@@ -84,12 +111,61 @@ def _sweep_kernel_impl(
     masked reduces — entirely in VMEM, so no epilogue gathers back in HBM
     (XLA lowers those to ~GB one-hot matmuls; they cost 3x the sweep).
     ``anyhit`` skips the u/v extraction for shadow rays.
+
+    Chunk culling: triangles are chunk-grouped in build order (large meshes
+    are Morton-sorted at build, scene/builder.py), so each chunk has a
+    tight AABB (``ab_ref``). Per chunk, a per-lane slab test against the
+    row's rays — including an exact "could this beat the lane's current
+    best t" prune — gates the whole MT matmul behind ``lax.cond``: rows
+    whose rays all miss (or already have closer hits than) the chunk skip
+    it entirely. Bitwise-neutral by construction: a skipped chunk cannot
+    contain a winning hit (any hit inside the AABB has t within the padded
+    slab interval, and equal-t hits never replace the incumbent key).
     """
     assert tc <= 128, "local index must fit the 7-bit key field"
-    for r in range(RAY_ROWS):
-        f = f_ref[:, r * RAY_LANES:(r + 1) * RAY_LANES]   # (10, 512)
+    g_id = pl.program_id(1)
+
+    @pl.when(g_id == 0)
+    def _init():
+        bk_scr[...] = jnp.full(
+            (RAY_ROWS, RAY_LANES), _INF_KEY, jnp.int32
+        )
+        t_ref[...] = jnp.full((RAY_ROWS, RAY_LANES), _BIG)
+        i_ref[...] = jnp.full((RAY_ROWS, RAY_LANES), -1, jnp.int32)
+        u_ref[...] = jnp.zeros((RAY_ROWS, RAY_LANES))
+        v_ref[...] = jnp.zeros((RAY_ROWS, RAY_LANES))
+        if rec_out is not None:
+            rec_out[...] = jnp.zeros((RAY_ROWS, 32, RAY_LANES))
+
+    chunk_base = g_id * np.int32(cpg)
+
+    def row_body(r, _):
+        # lax loop (not Python unroll): the row bodies then SHARE one
+        # temporary-buffer scope — 8 unrolled rows each holding a
+        # (4*tc, 512) product inside a lax.cond blew the 16 MB scoped-VMEM
+        # stack at tc=128 (measured 32.5M)
+        lane0 = pl.multiple_of(r * RAY_LANES, RAY_LANES)
+        f = f_ref[:, pl.ds(lane0, RAY_LANES)]              # (10, 512)
+        o_row = (f[6:7], f[7:8], f[8:9])
+        d_row = (f[3:4], f[4:5], f[5:6])
+        tiny = np.float32(1e-12)
+        inv_row = tuple(
+            1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d) for d in d_row
+        )
 
         def chunk(c, carry):
+            tmin, tmax = _row_slab(ab_ref, c, o_row, inv_row)
+            enter = jnp.maximum(tmin, 0.0)
+            bt_cur = carry[2]
+            cand = (
+                (tmax >= tmin) & (tmax > 0.0)
+                & (enter < bt_cur * np.float32(1.0 + 1e-5))
+            )
+            return lax.cond(
+                jnp.any(cand), partial(_run_chunk, c), lambda cr: cr, carry
+            )
+
+        def _run_chunk(c, carry):
             bk, bi, bt, bu, bv, brec = carry               # (1, 512) each
             g = g_ref[c]                                   # (4*tc, 10)
             if use_mxu:
@@ -144,7 +220,9 @@ def _sweep_kernel_impl(
             key = jnp.where(ok, key, _INF_KEY)
             kmin = jnp.min(key, axis=0, keepdims=True)     # (1, 512)
             better = kmin < bk
-            bi = jnp.where(better, c * tc + (kmin & _IDX_MASK), bi)
+            bi = jnp.where(
+                better, (chunk_base + c) * tc + (kmin & _IDX_MASK), bi
+            )
             bk = jnp.minimum(bk, kmin)
             if anyhit:
                 return bk, bi, bt, bu, bv, brec
@@ -173,40 +251,82 @@ def _sweep_kernel_impl(
                 brec = jnp.where(better, rec_w, brec)
             return bk, bi, bt, bu, bv, brec
 
-        bk = jnp.full((1, RAY_LANES), _INF_KEY, jnp.int32)
-        bi = jnp.full((1, RAY_LANES), -1, jnp.int32)
-        zf = jnp.zeros((1, RAY_LANES), jnp.float32)
-        brec0 = jnp.zeros((32, RAY_LANES), jnp.float32)
-        bk, bi, bt, bu, bv, brec = lax.fori_loop(
-            0, n_chunks, chunk,
-            (bk, bi, jnp.full_like(zf, _BIG), zf, zf, brec0),
+        # carries persist in the output refs + key scratch across groups
+        rs = pl.ds(r, 1)
+        bk = bk_scr[rs, :]
+        bi = i_ref[rs, :]
+        bt = t_ref[rs, :]
+        bu = u_ref[rs, :]
+        bv = v_ref[rs, :]
+        brec0 = (
+            rec_out[rs, :, :][0] if rec_out is not None
+            else jnp.zeros((32, RAY_LANES), jnp.float32)
+        )
+        # while_loop, NOT fori: Mosaic unrolls static-bound fori loops,
+        # allocating every iteration's (4*tc, 512) temporaries separately —
+        # 64 chunks blew the 16 MB scoped-VMEM stack (measured 32.1M)
+        _, (bk, bi, bt, bu, bv, brec) = lax.while_loop(
+            lambda st: st[0] < cpg,
+            lambda st: (st[0] + 1, chunk(st[0], st[1])),
+            (jnp.int32(0), (bk, bi, bt, bu, bv, brec0)),
         )
         if anyhit:
             # decode the approximate t from the packed key (2^-16 relative
             # quantization — far below the shadow-bias scale)
             bt = jax.lax.bitcast_convert_type(bk & ~_IDX_MASK, jnp.float32)
             bt = jnp.where(bk < _INF_KEY, bt, _BIG)
-        t_ref[r, :] = bt[0]
-        i_ref[r, :] = bi[0]
-        u_ref[r, :] = bu[0]
-        v_ref[r, :] = bv[0]
+        bk_scr[rs, :] = bk
+        t_ref[rs, :] = bt
+        i_ref[rs, :] = bi
+        u_ref[rs, :] = bu
+        v_ref[rs, :] = bv
         if rec_out is not None:
-            rec_out[r, :, :] = brec
+            rec_out[rs, :, :] = brec[None]
+        return 0
+
+    lax.fori_loop(0, RAY_ROWS, row_body, 0)
 
 
-def _anyhit_kernel(f_ref, g_ref, tm_ref, o_ref, *, n_chunks, tc):
+def _anyhit_kernel(f_ref, g_ref, tm_ref, ab_ref, o_ref, *, cpg, tc):
     """Boolean shadow sweep: ``blocked = any(valid MT hit with t < t_max)``.
 
     Much leaner than the nearest-hit kernel — no division, no key packing,
     no winner extraction: the in-kernel compare ``t_num*sgn < t_max*|det|``
     is exact (division-free) and the only output is one int32 per ray.
     Replaces ``Mesh::occluded`` (reference: Src/primitive.cpp:118-138).
+    Chunk AABBs gate each chunk's matmul behind a per-lane slab-vs-t_max
+    test, and the grid streams chunk GROUPS from HBM with the blocked
+    state accumulating in the output ref (see ``_sweep_kernel_impl``).
     """
-    for r in range(RAY_ROWS):
-        f = f_ref[:, r * RAY_LANES:(r + 1) * RAY_LANES]   # (10, 512)
-        tm = tm_ref[r:r + 1, :]                            # (1, 512)
+    g_id = pl.program_id(1)
+
+    @pl.when(g_id == 0)
+    def _init():
+        o_ref[...] = jnp.zeros((RAY_ROWS, RAY_LANES), jnp.int32)
+
+    def row_body(r, _):
+        lane0 = pl.multiple_of(r * RAY_LANES, RAY_LANES)
+        f = f_ref[:, pl.ds(lane0, RAY_LANES)]              # (10, 512)
+        tm = tm_ref[pl.ds(r, 1), :]                        # (1, 512)
+        o_row = (f[6:7], f[7:8], f[8:9])
+        d_row = (f[3:4], f[4:5], f[5:6])
+        tiny = np.float32(1e-12)
+        inv_row = tuple(
+            1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d) for d in d_row
+        )
 
         def chunk(c, acc):
+            tmin, tmax = _row_slab(ab_ref, c, o_row, inv_row)
+            enter = jnp.maximum(tmin, 0.0)
+            cand = (
+                (tmax >= tmin) & (tmax > 0.0)
+                & (enter < tm * np.float32(1.0 + 1e-5)) & (acc == 0)
+            )
+            return lax.cond(
+                jnp.any(cand), partial(_run_chunk, c), lambda a: a, acc
+            )
+
+        def _run_chunk(c, acc):
             g = g_ref[c]                                   # (4*tc, 10)
             prod = jax.lax.dot_general(
                 g, f,
@@ -234,10 +354,15 @@ def _anyhit_kernel(f_ref, g_ref, tm_ref, o_ref, *, n_chunks, tc):
             hit = jnp.max(ok.astype(jnp.int32), axis=0, keepdims=True)
             return jnp.maximum(acc, hit)
 
-        acc = lax.fori_loop(
-            0, n_chunks, chunk, jnp.zeros((1, RAY_LANES), jnp.int32)
+        _, acc = lax.while_loop(
+            lambda st: st[0] < cpg,
+            lambda st: (st[0] + 1, chunk(st[0], st[1])),
+            (jnp.int32(0), o_ref[pl.ds(r, 1), :]),
         )
-        o_ref[r, :] = acc[0]
+        o_ref[pl.ds(r, 1), :] = acc
+        return 0
+
+    lax.fori_loop(0, RAY_ROWS, row_body, 0)
 
 
 def occluded_triangles_pallas(
@@ -259,6 +384,7 @@ def occluded_triangles_pallas(
     n = rays.o.shape[0]
     center = jnp.mean(v0, axis=0)
     g_chunks = _build_g_chunks(v0 - center, e1, e2, valid, tc)
+    ab = _build_chunk_aabbs(v0 - center, e1, e2, valid, tc)
     n_chunks = t_total // tc
 
     from .intersect import _ray_features_t
@@ -271,28 +397,38 @@ def occluded_triangles_pallas(
         tm = jnp.pad(tm, (0, n_pad - n))
     n_tiles = n_pad // RAY_TILE
     tm = tm.reshape(n_tiles * RAY_ROWS, RAY_LANES)
-    kernel = partial(_anyhit_kernel, n_chunks=n_chunks, tc=tc)
+    cpg, n_groups, n_cpad = _grouping(n_chunks)
+    g_chunks = _pad_chunk_axis(g_chunks, n_cpad)
+    ab = _pad_aabbs(ab, n_cpad)
+    kernel = partial(_anyhit_kernel, cpg=cpg, tc=tc)
     io_spec = pl.BlockSpec(
-        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (RAY_ROWS, RAY_LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_groups),
         in_specs=[
             pl.BlockSpec(
-                (10, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+                (10, RAY_TILE), lambda i, g: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                g_chunks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (cpg, 4 * tc, 10), lambda i, g: (g, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             io_spec,
+            pl.BlockSpec(
+                (cpg, 8), lambda i, g: (g, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles * RAY_ROWS, RAY_LANES), jnp.int32
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         interpret=interpret,
-    )(f, g_chunks, tm)
+    )(f, g_chunks, tm, ab)
     return out.reshape(-1)[:n] > 0
 
 
@@ -310,26 +446,94 @@ def _build_g_chunks(v0, e1, e2, valid, tc):
     return g.reshape(n_chunks, 4 * tc, 10)
 
 
-def sweep_pallas(f, g_chunks, n_rays_padded, *, anyhit=False, interpret=False):
+def _grouping(n_chunks):
+    """(chunks_per_group, n_groups, padded_chunks) for the streamed grid."""
+    if n_chunks <= CHUNK_GROUP:
+        return n_chunks, 1, n_chunks
+    n_groups = -(-n_chunks // CHUNK_GROUP)
+    return CHUNK_GROUP, n_groups, n_groups * CHUNK_GROUP
+
+
+def _pad_chunk_axis(x, n_pad):
+    """Zero-pad the leading (chunk) axis — zero features mean det = 0,
+    which the hit test rejects."""
+    if x.shape[0] == n_pad:
+        return x
+    pad = [(0, n_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def _pad_aabbs(ab, n_pad):
+    """Pad with EMPTY boxes (lo > hi) so the slab test skips them."""
+    extra = n_pad - ab.shape[0]
+    if extra == 0:
+        return ab
+    empty = jnp.concatenate(
+        [
+            jnp.full((extra, 3), _BIG),
+            jnp.full((extra, 3), -_BIG),
+            jnp.zeros((extra, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([ab, empty], axis=0)
+
+
+def _build_chunk_aabbs(v0, e1, e2, valid, tc):
+    """(n_chunks, 8) chunk AABBs (lo3 | hi3 | pad2) over valid triangles'
+    vertices, in the same CENTERED coordinates as the ray features. Padded
+    by a small relative margin so slab-vs-MT rounding can never cull a
+    genuine hit; all-invalid chunks get an empty (lo > hi) box that every
+    slab test rejects."""
+    p1 = v0 + e1
+    p2 = v0 + e2
+    vm = valid[:, None]
+    lo = jnp.minimum(
+        jnp.minimum(jnp.where(vm, v0, _BIG), jnp.where(vm, p1, _BIG)),
+        jnp.where(vm, p2, _BIG),
+    )
+    hi = jnp.maximum(
+        jnp.maximum(jnp.where(vm, v0, -_BIG), jnp.where(vm, p1, -_BIG)),
+        jnp.where(vm, p2, -_BIG),
+    )
+    n_chunks = v0.shape[0] // tc
+    lo = lo.reshape(n_chunks, tc, 3).min(axis=1)
+    hi = hi.reshape(n_chunks, tc, 3).max(axis=1)
+    pad = 1e-4 * jnp.maximum(hi - lo, 0.0).max(axis=-1, keepdims=True) + 1e-6
+    return jnp.concatenate(
+        [lo - pad, hi + pad, jnp.zeros((n_chunks, 2), jnp.float32)], axis=-1
+    )
+
+
+def sweep_pallas(
+    f, g_chunks, ab, n_rays_padded, *, anyhit=False, interpret=False,
+):
     """Run the fused sweep. ``f``: (10, N_pad); returns (t, idx, u, v) each
     (N_pad,)."""
     n_chunks, four_tc, _ = g_chunks.shape
     tc = four_tc // 4
     n_tiles = n_rays_padded // RAY_TILE
-    kernel = partial(_sweep_kernel, n_chunks=n_chunks, tc=tc, anyhit=anyhit)
+    cpg, n_groups, n_cpad = _grouping(n_chunks)
+    g_chunks = _pad_chunk_axis(g_chunks, n_cpad)
+    ab = _pad_aabbs(ab, n_cpad)
+    kernel = partial(_sweep_kernel, cpg=cpg, tc=tc, anyhit=anyhit)
     out_spec = pl.BlockSpec(
-        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (RAY_ROWS, RAY_LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM
     )
     out_shape = (n_tiles * RAY_ROWS, RAY_LANES)
     t, idx, u, v = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_groups),
         in_specs=[
             pl.BlockSpec(
-                (10, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+                (10, RAY_TILE), lambda i, g: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                g_chunks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (cpg, 4 * tc, 10), lambda i, g: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cpg, 8), lambda i, g: (g, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[out_spec] * 4,
@@ -339,8 +543,12 @@ def sweep_pallas(f, g_chunks, n_rays_padded, *, anyhit=False, interpret=False):
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((RAY_ROWS, RAY_LANES), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         interpret=interpret,
-    )(f, g_chunks)
+    )(f, g_chunks, ab)
     return t.reshape(-1), idx.reshape(-1), u.reshape(-1), v.reshape(-1)
 
 
@@ -351,6 +559,7 @@ def _sweep(rays: Rays, v0, e1, e2, valid, interpret, anyhit):
     tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
     center = jnp.mean(v0, axis=0)
     g_chunks = _build_g_chunks(v0 - center, e1, e2, valid, tc)
+    ab = _build_chunk_aabbs(v0 - center, e1, e2, valid, tc)
 
     from .intersect import _ray_features_t
 
@@ -359,39 +568,50 @@ def _sweep(rays: Rays, v0, e1, e2, valid, interpret, anyhit):
     if n_pad != n:
         f = jnp.pad(f, ((0, 0), (0, n_pad - n)))
     bt, bi, bu, bv = sweep_pallas(
-        f, g_chunks, n_pad, anyhit=anyhit, interpret=interpret
+        f, g_chunks, ab, n_pad, anyhit=anyhit, interpret=interpret
     )
     return bt[:n], bi[:n], bu[:n], bv[:n]
 
 
-def sweep_pallas_rec(f, g_chunks, rec_chunks, n_rays_padded, *, interpret=False):
+def sweep_pallas_rec(
+    f, g_chunks, rec_chunks, ab, n_rays_padded, *, interpret=False,
+):
     """Fused sweep + in-kernel winner-record extraction.
     Returns (t, idx, u, v, rec) with rec (n_tiles*8, 32, RAY_LANES)."""
     n_chunks, four_tc, _ = g_chunks.shape
     tc = four_tc // 4
     n_tiles = n_rays_padded // RAY_TILE
-    kernel = partial(_sweep_kernel_rec, n_chunks=n_chunks, tc=tc)
+    cpg, n_groups, n_cpad = _grouping(n_chunks)
+    g_chunks = _pad_chunk_axis(g_chunks, n_cpad)
+    rec_chunks = _pad_chunk_axis(rec_chunks, n_cpad)
+    ab = _pad_aabbs(ab, n_cpad)
+    kernel = partial(_sweep_kernel_rec, cpg=cpg, tc=tc)
     out_spec = pl.BlockSpec(
-        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (RAY_ROWS, RAY_LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM
     )
     out_shape = (n_tiles * RAY_ROWS, RAY_LANES)
     t, idx, u, v, rec = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_groups),
         in_specs=[
             pl.BlockSpec(
-                (10, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+                (10, RAY_TILE), lambda i, g: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                g_chunks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (cpg, 4 * tc, 10), lambda i, g: (g, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                rec_chunks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (cpg, tc, 32), lambda i, g: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cpg, 8), lambda i, g: (g, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[out_spec] * 4 + [
             pl.BlockSpec(
-                (RAY_ROWS, 32, RAY_LANES), lambda i: (i, 0, 0),
+                (RAY_ROWS, 32, RAY_LANES), lambda i, g: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
@@ -404,8 +624,12 @@ def sweep_pallas_rec(f, g_chunks, rec_chunks, n_rays_padded, *, interpret=False)
                 (n_tiles * RAY_ROWS, 32, RAY_LANES), jnp.float32
             ),
         ],
+        scratch_shapes=[pltpu.VMEM((RAY_ROWS, RAY_LANES), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
         interpret=interpret,
-    )(f, g_chunks, rec_chunks)
+    )(f, g_chunks, rec_chunks, ab)
     return (
         t.reshape(-1), idx.reshape(-1), u.reshape(-1), v.reshape(-1), rec
     )
@@ -430,6 +654,7 @@ def intersect_triangles_pallas_rec(rays: Rays, scene, interpret=False):
 
     center = jnp.mean(v0, axis=0)
     g_chunks = _build_g_chunks(v0 - center, e1, e2, valid, tc)
+    ab = _build_chunk_aabbs(v0 - center, e1, e2, valid, tc)
     n_chunks = t_total // tc
     rec_chunks = scene.tri_rec.reshape(n_chunks, tc, 32)
 
@@ -440,7 +665,7 @@ def intersect_triangles_pallas_rec(rays: Rays, scene, interpret=False):
     if n_pad != n:
         f = jnp.pad(f, ((0, 0), (0, n_pad - n)))
     bt, bi, bu, bv, rec = sweep_pallas_rec(
-        f, g_chunks, rec_chunks, n_pad, interpret=interpret
+        f, g_chunks, rec_chunks, ab, n_pad, interpret=interpret
     )
     # (G8, 32, L) -> (N, 32)
     rec = rec.transpose(0, 2, 1).reshape(-1, 32)[:n]

@@ -131,17 +131,63 @@ def _build_f(o3, d3, extra=None):
     return _cat(rows)
 
 
-def _nearest_row(f, g_ref, rec_ref, n_chunks, tc):
+def _row_slab(ab_ref, c, o_row, inv_row):
+    """Per-lane slab test against chunk c's AABB (see
+    geometry/pallas_kernels._row_slab). Returns (tmin, tmax), (1, L)."""
+    big = np.float32(3.0e38)
+    tmin = jnp.full_like(o_row[0], -big)
+    tmax = jnp.full_like(o_row[0], big)
+    for k in range(3):
+        ta = (ab_ref[c, k] - o_row[k]) * inv_row[k]
+        tb = (ab_ref[c, k + 3] - o_row[k]) * inv_row[k]
+        tmin = jnp.maximum(tmin, jnp.minimum(ta, tb))
+        tmax = jnp.minimum(tmax, jnp.maximum(ta, tb))
+    return tmin, tmax
+
+
+def _slab_rays(f):
+    """(o_row, inv_row) triples from the MT feature block (rows 3-8)."""
+    tiny = np.float32(1e-12)
+    o_row = (f[6:7], f[7:8], f[8:9])
+    inv_row = tuple(
+        1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+        for d in (f[3:4], f[4:5], f[5:6])
+    )
+    return o_row, inv_row
+
+
+def _nearest_row(f, g_ref, rec_ref, ab_ref, n_chunks, tc):
     """One nearest-hit sweep over ``L = f.shape[1]`` lanes + winner record
     extraction. Returns the packed key (1, L) int32 and rec as (32, L).
     Same packed-key selection as geometry/pallas_kernels._sweep_kernel_impl,
     but WITHOUT per-chunk t/u/v winner extraction: those were three extra
     cross-sublane max-reduces over the full (tc, L) area per chunk — the
     caller recomputes exact t/u/v from the winner's v0/e1/e2 (record cols
-    15-23) on the (rows, 512) footprint instead (``_mt_from_record``)."""
+    15-23) on the (rows, 512) footprint instead (``_mt_from_record``).
+
+    Chunk culling as in pallas_kernels: a per-lane slab test vs the chunk
+    AABB gates the matmul behind ``lax.cond``. The best-t prune decodes
+    the approximate t from the packed key (2^-16 relative LOW) — the
+    1e-4 margin therefore also covers the incumbent's quantization bucket,
+    so tie-bucket hits are never skipped."""
     L = f.shape[1]
+    o_row, inv_row = _slab_rays(f)
 
     def chunk(c, carry):
+        bk = carry[0]
+        tmin, tmax = _row_slab(ab_ref, c, o_row, inv_row)
+        enter = jnp.maximum(tmin, 0.0)
+        bt_dec = lax.bitcast_convert_type(bk & ~_IDX_MASK, jnp.float32)
+        bt_dec = jnp.where(bk < _INF_KEY, bt_dec, _BIG)
+        cand = (
+            (tmax >= tmin) & (tmax > 0.0)
+            & (enter < bt_dec * np.float32(1.0 + 1e-4))
+        )
+        return lax.cond(
+            jnp.any(cand), partial(_run_chunk, c), lambda cr: cr, carry
+        )
+
+    def _run_chunk(c, carry):
         bk, brec = carry
         g = g_ref[c]
         prod = lax.dot_general(
@@ -189,15 +235,29 @@ def _nearest_row(f, g_ref, rec_ref, n_chunks, tc):
     return bk, brec
 
 
-def _anyhit_row(f11, go_ref, n_chunks, tc):
+def _anyhit_row(f11, go_ref, abo_ref, n_chunks, tc):
     """Boolean shadow sweep over ``L`` lanes (exact division-free t < t_max
     compare, as geometry/pallas_kernels._anyhit_kernel). ``f11`` carries the
-    10 MT feature rows plus the per-lane t_max as row 10. -> (1, L) int32."""
+    10 MT feature rows plus the per-lane t_max as row 10. -> (1, L) int32.
+    Chunk-culled: slab vs [0, t_max), and lanes already blocked don't keep
+    chunks alive."""
     L = f11.shape[1]
     f = f11[0:10]
     tm = f11[10:11]
+    o_row, inv_row = _slab_rays(f)
 
     def chunk(c, acc):
+        tmin, tmax = _row_slab(abo_ref, c, o_row, inv_row)
+        enter = jnp.maximum(tmin, 0.0)
+        cand = (
+            (tmax >= tmin) & (tmax > 0.0)
+            & (enter < tm * np.float32(1.0 + 1e-5)) & (acc == 0)
+        )
+        return lax.cond(
+            jnp.any(cand), partial(_run_chunk, c), lambda a: a, acc
+        )
+
+    def _run_chunk(c, acc):
         g = go_ref[c]
         prod = lax.dot_general(
             g, f, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -226,8 +286,8 @@ def _anyhit_row(f11, go_ref, n_chunks, tc):
 
 
 def _trace_body(
-    ox, oy, oz, dx, dy, dz, key, g_ref, go_ref, rec_ref, *,
-    n_chunks, tc, max_depth, nee, le0, cosine, lights, center,
+    ox, oy, oz, dx, dy, dz, key, g_ref, go_ref, rec_ref, ab_ref, abo_ref,
+    *, n_chunks, tc, max_depth, nee, le0, cosine, lights, center,
 ):
     """Whole-path trace for one (RAY_ROWS, RAY_LANES) tile of rays; shared
     by the per-sample kernel (``_mega_kernel``) and the spp-loop render
@@ -260,7 +320,7 @@ def _trace_body(
                 )
                 for r in range(r0, r0 + G)
             ], axis=1)                                  # (10, G*512)
-            bk, rec = _nearest_row(fg, g_ref, rec_ref, n_chunks, tc)
+            bk, rec = _nearest_row(fg, g_ref, rec_ref, ab_ref, n_chunks, tc)
             for j in range(G):
                 s = slice(j * RAY_LANES, (j + 1) * RAY_LANES)
                 hit_r.append(bk[:, s])
@@ -397,7 +457,7 @@ def _trace_body(
                         )
                         for r in range(r0, r0 + G)
                     ], axis=1)
-                    bg = _anyhit_row(fs, go_ref, n_chunks, tc)
+                    bg = _anyhit_row(fs, go_ref, abo_ref, n_chunks, tc)
                     for j in range(G):
                         blk.append(
                             bg[:, j * RAY_LANES:(j + 1) * RAY_LANES]
@@ -469,13 +529,14 @@ def _trace_body(
 
 def _mega_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, key_ref,
-    g_ref, go_ref, rec_ref, rr_ref, rg_ref, rb_ref, **consts,
+    g_ref, go_ref, rec_ref, ab_ref, abo_ref, rr_ref, rg_ref, rb_ref,
+    **consts,
 ):
     """Per-sample whole-path kernel: rays in, radiance out (one tile)."""
     rr_, rg_, rb_ = _trace_body(
         ox_ref[...], oy_ref[...], oz_ref[...],
         dx_ref[...], dy_ref[...], dz_ref[...], key_ref[...],
-        g_ref, go_ref, rec_ref, **consts,
+        g_ref, go_ref, rec_ref, ab_ref, abo_ref, **consts,
     )
     rr_ref[...] = rr_
     rg_ref[...] = rg_
@@ -499,6 +560,12 @@ def _eligible(scene, statics, max_depth):
     t_total = tri_obj.shape[0]
     tc = t_total if t_total <= TRI_CHUNK else TRI_CHUNK
     if t_total == 0 or t_total % tc or tc % 8:
+        return None
+    if t_total > 4096:
+        # the megakernel holds g + go + rec tables fully in VMEM alongside
+        # the spp accumulators; larger meshes OOM the 16 MB scoped budget
+        # (measured at 13k tris) and are served better by the wavefront
+        # path's chunk-GROUP-streamed, AABB-culled sweeps (pallas_kernels)
         return None
     if (sph_obj >= 0).any() or (box_obj >= 0).any():
         return None
@@ -550,6 +617,12 @@ def _bake(scene, statics, max_depth, nee, le0, cosine):
     blocks = valid & (tri_light < 0)
     go_chunks = _build_g_chunks(scene.tri_v0 - c_arr, scene.tri_e1,
                                 scene.tri_e2, blocks, tc)
+    from ..geometry.pallas_kernels import _build_chunk_aabbs
+
+    ab_chunks = _build_chunk_aabbs(scene.tri_v0 - c_arr, scene.tri_e1,
+                                   scene.tri_e2, valid, tc)
+    abo_chunks = _build_chunk_aabbs(scene.tri_v0 - c_arr, scene.tri_e1,
+                                    scene.tri_e2, blocks, tc)
     rec_chunks = scene.tri_rec.reshape(n_chunks, tc, 32)
     consts = dict(
         n_chunks=n_chunks, tc=tc, max_depth=max_depth, nee=nee, le0=le0,
@@ -562,8 +635,13 @@ def _bake(scene, statics, max_depth, nee, le0, cosine):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(rec_chunks.shape, lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec(ab_chunks.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(abo_chunks.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    return consts, g_chunks, go_chunks, rec_chunks, table_specs
+    tables = (g_chunks, go_chunks, rec_chunks, ab_chunks, abo_chunks)
+    return consts, tables, table_specs
 
 
 def try_make_fused_path_integrator(
@@ -585,7 +663,7 @@ def try_make_fused_path_integrator(
                   cosine_sampling)
     if baked is None:
         return None
-    consts, g_chunks, go_chunks, rec_chunks, table_specs = baked
+    consts, tables, table_specs = baked
 
     kernel = partial(_mega_kernel, **consts)
     io_spec = pl.BlockSpec(
@@ -614,7 +692,7 @@ def try_make_fused_path_integrator(
             out_specs=[io_spec] * 3,
             out_shape=[out_shape] * 3,
             interpret=interpret,
-        )(*comps, g_chunks, go_chunks, rec_chunks)
+        )(*comps, *tables)
         return jnp.stack(
             [r.reshape(-1)[:n], g.reshape(-1)[:n], b.reshape(-1)[:n]],
             axis=-1,
@@ -712,10 +790,10 @@ def try_make_fused_spp_render(
                   cosine_sampling)
     if baked is None:
         return None
-    consts, g_chunks, go_chunks, rec_chunks, table_specs = baked
+    consts, tables, table_specs = baked
     trace = partial(_trace_body, **consts)
     return make_spp_render(
-        trace, (g_chunks, go_chunks, rec_chunks), table_specs,
+        trace, tables, table_specs,
         camera, width, height, seed, interpret=interpret,
     )
 

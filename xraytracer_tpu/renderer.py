@@ -40,10 +40,38 @@ from .sampling import path_keys, uniform2
 CAMERA_SITE = 0x7FFF0000
 
 
-def pixel_grid(width, height):
-    """Global pixel ids (row-major, matching the reference's
-    ``j + width * i`` seeding, Src/renderer.cpp:36) and pixel (x, y)."""
+def _morton_argsort(width, height):
+    """Lane order that visits pixels along a Z-order curve: consecutive
+    512-lane kernel rows then cover compact 2-D pixel BLOCKS instead of
+    two full scanlines, which is what makes the per-chunk AABB culling in
+    the Pallas sweeps effective for primary/shadow rays on large meshes
+    (a scanline row's frustum touches almost every chunk)."""
+    ids = np.arange(width * height, dtype=np.int64)
+    x = (ids % width).astype(np.uint32)
+    y = (ids // width).astype(np.uint32)
+
+    def spread(v):
+        v = (v | (v << 8)) & np.uint32(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint32(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint32(0x33333333)
+        v = (v | (v << 1)) & np.uint32(0x55555555)
+        return v
+
+    code = (spread(x) << np.uint32(1)) | spread(y)
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
+def pixel_grid(width, height, order="raster"):
+    """Global pixel ids and pixel (x, y), in lane-traversal order.
+
+    Pixel IDs stay row-major (matching the reference's ``j + width * i``
+    seeding, Src/renderer.cpp:36) — per-pixel RNG streams and therefore
+    the IMAGE are identical for every ``order``; only the lane TRAVERSAL
+    changes ("morton" visits pixels Z-order for sweep-culling locality,
+    and image assembly un-permutes)."""
     ids = np.arange(width * height, dtype=np.int32)
+    if order == "morton":
+        ids = ids[_morton_argsort(width, height)]
     x = (ids % width).astype(np.float32)
     y = (ids // width).astype(np.float32)
     return jnp.asarray(ids), jnp.asarray(np.stack([x, y], axis=-1))
@@ -146,7 +174,8 @@ class RenderResult:
 class Accumulator:
     """Checkpointable spp accumulation state."""
 
-    def __init__(self, width, height, acc=None, n_rejected=0, spp_done=0):
+    def __init__(self, width, height, acc=None, n_rejected=0, spp_done=0,
+                 pixel_perm=None):
         self.width = width
         self.height = height
         self.acc = (
@@ -154,8 +183,14 @@ class Accumulator:
         )
         self.n_rejected = n_rejected
         self.spp_done = spp_done
+        # lane -> pixel-id map when the renderer traverses pixels out of
+        # raster order (pixel_grid(order="morton")); None = raster
+        self.pixel_perm = pixel_perm
 
     def save(self, path):
+        extra = {}
+        if self.pixel_perm is not None:
+            extra["pixel_perm"] = np.asarray(self.pixel_perm)
         np.savez(
             path,
             acc=np.asarray(self.acc),
@@ -163,6 +198,7 @@ class Accumulator:
             spp_done=self.spp_done,
             width=self.width,
             height=self.height,
+            **extra,
         )
 
     @staticmethod
@@ -173,12 +209,17 @@ class Accumulator:
             acc=jnp.asarray(z["acc"]),
             n_rejected=jnp.asarray(z["n_rejected"]),
             spp_done=int(z["spp_done"]),
+            pixel_perm=z["pixel_perm"] if "pixel_perm" in z else None,
         )
 
     def image(self):
         spp = max(self.spp_done, 1)
-        img = np.asarray(self.acc).reshape(self.height, self.width, 3) / spp
-        return img
+        a = np.asarray(self.acc)
+        if self.pixel_perm is not None:
+            out = np.empty_like(a)
+            out[self.pixel_perm] = a
+            a = out
+        return a.reshape(self.height, self.width, 3) / spp
 
 
 class WavefrontRenderer:
@@ -189,13 +230,24 @@ class WavefrontRenderer:
     rebuilds closures and recompiles every time)."""
 
     def __init__(
-        self, scene, camera, integrate, width, height, seed=0, sharding=None
+        self, scene, camera, integrate, width, height, seed=0, sharding=None,
+        pixel_order="auto",
     ):
         self.width = width
         self.height = height
         self.sharding = sharding
         self.n_pix = width * height
-        pixel_ids, pixel_xy = pixel_grid(width, height)
+        if pixel_order == "auto":
+            # Z-order traversal pays off exactly where the streamed culled
+            # sweeps serve: meshes past the megakernel gate
+            try:
+                big = int(np.sum(np.asarray(scene.tri_obj) >= 0)) > 4096
+            except Exception:
+                big = False
+            pixel_order = "morton" if big else "raster"
+        self.pixel_order = pixel_order
+        pixel_ids, pixel_xy = pixel_grid(width, height, order=pixel_order)
+        self._ids_np = np.asarray(pixel_ids)
         self._pad = 0
         if sharding is not None:
             # pad the pixel axis to a multiple of the device count; padding
@@ -237,6 +289,9 @@ class WavefrontRenderer:
     ):
         spp_chunk = spp_chunk or spp
         acc_state = accumulator or Accumulator(self.width, self.height)
+        acc_state.pixel_perm = (
+            self._ids_np if self.pixel_order == "morton" else None
+        )
         acc = acc_state.acc
         if self._pad:
             acc = jnp.pad(acc, ((0, self._pad), (0, 0)))
@@ -263,10 +318,9 @@ class WavefrontRenderer:
         jax.block_until_ready(acc)
         dt = time.perf_counter() - t0
 
-        img = (
-            np.asarray(acc[:self.n_pix]).reshape(self.height, self.width, 3)
-            / spp
-        )
+        img_flat = np.empty((self.n_pix, 3), np.float32)
+        img_flat[self._ids_np] = np.asarray(acc[:self.n_pix])
+        img = img_flat.reshape(self.height, self.width, 3) / spp
         n_samples = self.n_pix * max(spp - spp_resumed, 0)
         return RenderResult(
             image=img,

@@ -63,6 +63,26 @@ def supergrid_max(gd, super_nb, super_bs):
     return sg
 
 
+def _morton_order(points):
+    """Argsort of 3-D points along a 30-bit Morton (Z-order) curve over
+    their bounding box — groups spatially-near triangles into the same
+    sweep chunks. Pure host-side numpy."""
+    p = np.asarray(points, np.float64)
+    lo = p.min(axis=0)
+    ext = np.maximum(p.max(axis=0) - lo, 1e-30)
+    q = np.minimum(((p - lo) / ext * 1023.0).astype(np.uint32), 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return np.argsort(code, kind="stable")
+
+
 def _tri_pad(n):
     if n <= 128:
         return max(8, ((n + 7) // 8) * 8)
@@ -125,6 +145,15 @@ class SceneBuilder:
             )
         else:
             uvs = np.asarray(uvs, np.float32)
+        if t > 512:
+            # Morton-order large meshes so 128-triangle sweep chunks are
+            # spatially compact — the per-chunk AABB culling in the Pallas
+            # sweeps (geometry/pallas_kernels.py) depends on it. Small
+            # meshes keep insertion order (golden-image tie-break safety).
+            order = _morton_order(vertices.mean(axis=1))
+            vertices = vertices[order]
+            normals = normals[order]
+            uvs = uvs[order]
         obj = self._new_object(mat=material, light=light)
         for i in range(t):
             self._tris.append(
