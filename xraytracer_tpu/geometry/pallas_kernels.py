@@ -50,21 +50,22 @@ _IDX_MASK = np.int32(0x7F)       # low 7 bits carry the chunk-local triangle
 
 def _sweep_kernel(
     f_ref, g_ref, ab_ref, t_ref, i_ref, u_ref, v_ref, bk_scr, *, cpg, tc,
-    use_mxu=True, anyhit=False,
+    cull=True, use_mxu=True, anyhit=False,
 ):
     _sweep_kernel_impl(
         f_ref, g_ref, None, ab_ref, t_ref, i_ref, u_ref, v_ref, None,
-        bk_scr, cpg=cpg, tc=tc, use_mxu=use_mxu, anyhit=anyhit,
+        bk_scr, cpg=cpg, tc=tc, cull=cull, use_mxu=use_mxu, anyhit=anyhit,
     )
 
 
 def _sweep_kernel_rec(
     f_ref, g_ref, rec_ref_in, ab_ref, t_ref, i_ref, u_ref, v_ref, rec_ref,
-    bk_scr, *, cpg, tc, use_mxu=True,
+    bk_scr, *, cpg, tc, cull=True, use_mxu=True,
 ):
     _sweep_kernel_impl(
         f_ref, g_ref, rec_ref_in, ab_ref, t_ref, i_ref, u_ref, v_ref,
-        rec_ref, bk_scr, cpg=cpg, tc=tc, use_mxu=use_mxu, anyhit=False,
+        rec_ref, bk_scr, cpg=cpg, tc=tc, cull=cull, use_mxu=use_mxu,
+        anyhit=False,
     )
 
 
@@ -84,7 +85,7 @@ def _row_slab(ab_ref, c, o_row, inv_row):
 
 def _sweep_kernel_impl(
     f_ref, g_ref, rec_in, ab_ref, t_ref, i_ref, u_ref, v_ref, rec_out,
-    bk_scr, *, cpg, tc, use_mxu=True, anyhit=False,
+    bk_scr, *, cpg, tc, cull=True, use_mxu=True, anyhit=False,
 ):
     """One 4096-ray tile vs. one GROUP of ``cpg`` triangle chunks.
 
@@ -154,6 +155,8 @@ def _sweep_kernel_impl(
         )
 
         def chunk(c, carry):
+            if not cull:
+                return _run_chunk(c, carry)
             tmin, tmax = _row_slab(ab_ref, c, o_row, inv_row)
             enter = jnp.maximum(tmin, 0.0)
             bt_cur = carry[2]
@@ -287,7 +290,7 @@ def _sweep_kernel_impl(
     lax.fori_loop(0, RAY_ROWS, row_body, 0)
 
 
-def _anyhit_kernel(f_ref, g_ref, tm_ref, ab_ref, o_ref, *, cpg, tc):
+def _anyhit_kernel(f_ref, g_ref, tm_ref, ab_ref, o_ref, *, cpg, tc, cull=True):
     """Boolean shadow sweep: ``blocked = any(valid MT hit with t < t_max)``.
 
     Much leaner than the nearest-hit kernel — no division, no key packing,
@@ -316,6 +319,8 @@ def _anyhit_kernel(f_ref, g_ref, tm_ref, ab_ref, o_ref, *, cpg, tc):
         )
 
         def chunk(c, acc):
+            if not cull:
+                return _run_chunk(c, acc)
             tmin, tmax = _row_slab(ab_ref, c, o_row, inv_row)
             enter = jnp.maximum(tmin, 0.0)
             cand = (
@@ -400,7 +405,7 @@ def occluded_triangles_pallas(
     cpg, n_groups, n_cpad = _grouping(n_chunks)
     g_chunks = _pad_chunk_axis(g_chunks, n_cpad)
     ab = _pad_aabbs(ab, n_cpad)
-    kernel = partial(_anyhit_kernel, cpg=cpg, tc=tc)
+    kernel = partial(_anyhit_kernel, cpg=cpg, tc=tc, cull=n_cpad > 1)
     io_spec = pl.BlockSpec(
         (RAY_ROWS, RAY_LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM
     )
@@ -516,7 +521,7 @@ def sweep_pallas(
     cpg, n_groups, n_cpad = _grouping(n_chunks)
     g_chunks = _pad_chunk_axis(g_chunks, n_cpad)
     ab = _pad_aabbs(ab, n_cpad)
-    kernel = partial(_sweep_kernel, cpg=cpg, tc=tc, anyhit=anyhit)
+    kernel = partial(_sweep_kernel, cpg=cpg, tc=tc, cull=n_cpad > 1, anyhit=anyhit)
     out_spec = pl.BlockSpec(
         (RAY_ROWS, RAY_LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM
     )
@@ -585,7 +590,7 @@ def sweep_pallas_rec(
     g_chunks = _pad_chunk_axis(g_chunks, n_cpad)
     rec_chunks = _pad_chunk_axis(rec_chunks, n_cpad)
     ab = _pad_aabbs(ab, n_cpad)
-    kernel = partial(_sweep_kernel_rec, cpg=cpg, tc=tc)
+    kernel = partial(_sweep_kernel_rec, cpg=cpg, tc=tc, cull=n_cpad > 1)
     out_spec = pl.BlockSpec(
         (RAY_ROWS, RAY_LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM
     )

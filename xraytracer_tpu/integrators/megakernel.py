@@ -171,9 +171,12 @@ def _nearest_row(f, g_ref, rec_ref, ab_ref, n_chunks, tc):
     1e-4 margin therefore also covers the incumbent's quantization bucket,
     so tie-bucket hits are never skipped."""
     L = f.shape[1]
-    o_row, inv_row = _slab_rays(f)
+    cull = n_chunks > 1          # single-chunk scenes: slab is pure overhead
+    o_row, inv_row = _slab_rays(f) if cull else (None, None)
 
     def chunk(c, carry):
+        if not cull:
+            return _run_chunk(c, carry)
         bk = carry[0]
         tmin, tmax = _row_slab(ab_ref, c, o_row, inv_row)
         enter = jnp.maximum(tmin, 0.0)
@@ -244,9 +247,12 @@ def _anyhit_row(f11, go_ref, abo_ref, n_chunks, tc):
     L = f11.shape[1]
     f = f11[0:10]
     tm = f11[10:11]
-    o_row, inv_row = _slab_rays(f)
+    cull = n_chunks > 1
+    o_row, inv_row = _slab_rays(f) if cull else (None, None)
 
     def chunk(c, acc):
+        if not cull:
+            return _run_chunk(c, acc)
         tmin, tmax = _row_slab(abo_ref, c, o_row, inv_row)
         enter = jnp.maximum(tmin, 0.0)
         cand = (
