@@ -57,6 +57,7 @@ def _nee_site_layout(max_steps):
 def make_volume_integrator(
     scene, statics, max_depth, nee=False, max_steps=None, tri_fn=None,
     n_iterations=None, differentiable=False, with_stats=False, fused="auto",
+    unroll=None,
 ):
     """Factory for both volume integrators (``nee`` selects the variant).
 
@@ -232,8 +233,11 @@ def make_volume_integrator(
             jnp.zeros((n_iterations, 5), jnp.int32),
         )
         # unroll short loops: straight-line code runs measurably faster than
-        # device-side while loops on the TPU toolchain (see surface.py)
-        if n_iterations <= 24:
+        # device-side loops on this TPU toolchain (see surface.py); the
+        # fused tracking kernels take their RNG site at runtime, so
+        # unrolled iterations share one kernel binary
+        do_unroll = n_iterations <= 24 if unroll is None else unroll
+        if do_unroll:
             for it in range(n_iterations):
                 state = iteration(it, state)
         else:
