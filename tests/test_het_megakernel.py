@@ -1,0 +1,78 @@
+"""Fused heterogeneous volume megakernel vs. the XLA wavefront integrator.
+
+Interpret-mode, bf16-exact grid (see tests/test_het_kernel.py): the fused
+whole-path kernel consumes the identical PCG draws as integrators/volume.py
+(with the fused tracking kernels pinned off via fused="off"), so radiance
+must agree up to f32 reduce-order rounding along each path.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xraytracer_tpu.geometry import Rays
+from xraytracer_tpu.integrators import make_volume_integrator
+from xraytracer_tpu.integrators.het_megakernel import (
+    _eligible_het,
+    try_make_fused_het_path_integrator,
+)
+from xraytracer_tpu.media_pallas import round_bf16
+from xraytracer_tpu.sampling import path_keys
+from xraytracer_tpu.scene.builder import scene_statics
+from xraytracer_tpu.scene.presets import build_volume_scene, procedural_cloud
+
+N = 4096
+MAX_STEPS = 96
+MAX_DEPTH = 6
+
+
+@pytest.fixture(scope="module")
+def scene():
+    density = round_bf16(procedural_cloud(res=(24, 20, 16), seed=3))
+    tables = build_volume_scene(
+        density=density, scattering=(0.08, 0.07, 0.06),
+        absorption=(0.02, 0.02, 0.02), le=25.0,
+    ).build()
+    return tables, scene_statics(tables)
+
+
+@pytest.fixture(scope="module")
+def wavefront():
+    rng = np.random.default_rng(21)
+    o = np.tile(np.float32([[0.0, 70.0, 550.0]]), (N, 1))
+    o += rng.normal(scale=30.0, size=(N, 3)).astype(np.float32)
+    target = rng.normal(scale=120.0, size=(N, 3)).astype(np.float32)
+    d = target - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    keys = path_keys(5, jnp.arange(N, dtype=jnp.int32), 0)
+    return Rays(o=jnp.asarray(o), d=jnp.asarray(d)), keys
+
+
+def test_eligibility(scene):
+    tables, statics = scene
+    assert _eligible_het(tables, statics, MAX_DEPTH) is not None
+
+
+@pytest.mark.parametrize("nee", [False, True])
+def test_fused_het_path_parity(scene, wavefront, nee):
+    tables, statics = scene
+    rays, keys = wavefront
+    ref_fn = make_volume_integrator(
+        tables, statics, MAX_DEPTH, nee=nee, max_steps=MAX_STEPS,
+        fused="off",
+    )
+    ref = np.asarray(ref_fn(rays, keys))
+    fused = try_make_fused_het_path_integrator(
+        tables, statics, MAX_DEPTH, nee=nee, max_steps=MAX_STEPS,
+        interpret=True, force=True,
+    )
+    assert fused is not None
+    got = np.asarray(fused(rays, keys))
+    assert np.isfinite(got).all()
+    # per-lane radiance parity (identical draws; rounding-order only)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+    # sanity: the light contributes (without NEE only the rare forward
+    # paths that terminate on the small sphere carry radiance)
+    lit_frac = (ref.sum(axis=1) > 0).mean()
+    assert ref.max() > 1.0
+    assert lit_frac > (0.05 if nee else 0.0)

@@ -1,0 +1,549 @@
+"""Fused single-kernel HETEROGENEOUS volume path tracer for TPU.
+
+Completes the fused-path family: surface GI (megakernel.py), homogeneous
+volumes (vol_megakernel.py), and now the reference's flagship cloud
+workloads — ``volume.cpp`` / ``nee.cpp`` (reference:
+Src/examples/volume.cpp, nee.cpp: a HeterogeneousMedium grid box plus
+emissive sphere lights, no triangles, Src/integrator.h:401-636).
+
+The wavefront path already runs the delta-tracking sample and the NEE
+ratio-tracking transmittance as fused kernels (media_pallas.py), but each
+of the ``2*max_depth + 2`` iterations still pays several separate Pallas
+dispatches plus an XLA glue epilogue per 65k-lane wavefront. Here the
+ENTIRE path — sphere-light/box intersection, Russian roulette, one-sided
+emitter Le, weighted delta tracking, Henyey-Greenstein scattering, and
+sphere-light cone NEE with in-kernel ratio-tracked transmittance — runs
+inside ONE Pallas kernel per (8, 512)-ray tile, with the brick density
+table and supergrid resident in VMEM across all iterations and a
+while_loop that exits as soon as every lane in the tile has died.
+
+Draw-for-draw parity with integrators/volume.py (same RNG sites: RR=0,
+medium=16+step*4, phase hoisted to 16+scat_step*4+3, NEE pick/light/tr at
+the ``_nee_site_layout`` offsets), verified by the interpret-mode test on
+a bf16-exact grid (the kernels sample the bf16-rounded field, PARITY.md).
+
+Eligibility (``_eligible_het``): no triangles, exactly one box carrying
+the single heterogeneous medium, every sphere purely emissive (no
+material/medium — so shadow rays are never surface-blocked, matching the
+wavefront's ``mtype >= 0`` test compiling to False), <= 2 sphere area
+lights, grids within media_pallas.het_pack's VMEM bound.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import INF, PI, RAY_EPS
+from ..media_pallas import (
+    _payload_coords,
+    _u1_at,
+    _u2_at,
+    het_pack,
+    track_sample,
+    track_transmittance,
+)
+from ..sampling import SITES_PER_BOUNCE
+from ..scene.tables import AL_SPHERE, MED_HETEROGENEOUS
+from .megakernel import RAY_LANES, RAY_ROWS, RAY_TILE, make_spp_render
+
+_INF = np.float32(INF)
+_SITE_RR = 0
+_SITE_MEDIUM = 16
+_SITES_PER_STEP = 4
+_TWO_PI = np.float32(2.0 * PI)
+_INV_4PI = np.float32(1.0 / (4.0 * PI))
+
+
+def _f3(v):
+    return tuple(np.float32(x) for x in np.asarray(v).reshape(-1)[:3])
+
+
+def _duff_onb(nx, ny, nz):
+    """Branchless ONB about a unit normal, per-component
+    (math.vec.orthonormal_basis parity)."""
+    sgn = jnp.copysign(jnp.ones_like(nz), nz)
+    a = -1.0 / (sgn + nz)
+    cc = nx * ny * a
+    tx, ty, tz = 1.0 + sgn * nx * nx * a, sgn * cc, -sgn * nx
+    bx, by, bz = cc, sgn + ny * ny * a, -ny
+    return (tx, ty, tz), (bx, by, bz)
+
+
+def _intersect(o3, d3, spheres, box):
+    """Nearest hit among baked emissive spheres + the medium box.
+
+    Replicates geometry.intersect: sphere q-form quadratic
+    (intersect_spheres), box slab with entry clamped to 0
+    (intersect_boxes), and the argmin-first-min combine (sphere beats box
+    on exact ties since argmin over [tri, sphere, box] picks the first).
+    Returns dict(hit, box_win, t, t1, lrow, ns*)."""
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    shp = ox.shape
+    t_sph = jnp.full(shp, _INF)
+    lrow = jnp.full(shp, -1.0)
+    scx = jnp.zeros(shp)
+    scy = jnp.zeros(shp)
+    scz = jnp.zeros(shp)
+    a = dx * dx + dy * dy + dz * dz
+    for sp in spheres:
+        cx, cy, cz = sp["center"]
+        ex, ey, ez = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (dx * ex + dy * ey + dz * ez)
+        cq = ex * ex + ey * ey + ez * ez - np.float32(sp["radius"] ** 2)
+        disc = b * b - 4.0 * a * cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        q = jnp.where(b > 0.0, -0.5 * (b + sq), -0.5 * (b - sq))
+        q_safe = jnp.where(q == 0.0, 1.0, q)
+        x0 = q / a
+        x1 = jnp.where(q == 0.0, x0, cq / q_safe)
+        t0 = jnp.minimum(x0, x1)
+        t1 = jnp.maximum(x0, x1)
+        t = jnp.where(t0 > 0.0, t0, t1)
+        ok = (disc >= 0.0) & (t > 0.0)
+        better = ok & (t < t_sph)           # strict: first sphere wins ties
+        t_sph = jnp.where(better, t, t_sph)
+        lrow = jnp.where(better, np.float32(sp["lrow"]), lrow)
+        scx = jnp.where(better, np.float32(cx), scx)
+        scy = jnp.where(better, np.float32(cy), scy)
+        scz = jnp.where(better, np.float32(cz), scz)
+
+    # medium box slab (intersect_boxes: entry clamped to 0 when inside)
+    lo, hi = box["lo"], box["hi"]
+    eps = np.float32(1e-12)
+
+    def slab(o, d, lo_c, hi_c):
+        d_safe = jnp.where(jnp.abs(d) < eps, eps, d)
+        iv = 1.0 / d_safe
+        ta = (lo_c - o) * iv
+        tb = (hi_c - o) * iv
+        return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+    ax_, bx_ = slab(ox, dx, lo[0], hi[0])
+    ay_, by_ = slab(oy, dy, lo[1], hi[1])
+    az_, bz_ = slab(oz, dz, lo[2], hi[2])
+    b0 = jnp.maximum(jnp.maximum(ax_, ay_), az_)
+    b1 = jnp.minimum(jnp.minimum(bx_, by_), bz_)
+    bok = (b0 <= b1) & (b1 > 0.0)
+    b0 = jnp.maximum(b0, 0.0)
+    box_win = bok & (b0 < t_sph)            # strict: sphere wins exact ties
+
+    t = jnp.where(box_win, b0, t_sph)
+    hit = box_win | (t_sph < _INF)
+    # sphere shading normal (intersect_scene: normalize(pos - center))
+    px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
+    nx, ny, nz = px - scx, py - scy, pz - scz
+    nl = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    nl = jnp.where(nl == 0.0, 1.0, nl)
+    return dict(
+        hit=hit, box_win=box_win, t=t, t1=jnp.where(box_win, b1, _INF),
+        lrow=jnp.where(box_win, -1.0, lrow),
+        nsx=nx / nl, nsy=ny / nl, nsz=nz / nl,
+    )
+
+
+def _cone_sample(mp3, light, lu, lv):
+    """PBRT-style cone sample of a baked sphere light about the shading
+    point (lights.sample_area_light default strategy, reference:
+    Src/light.h:160-198). Returns (wi3, t_max, pdf, front)."""
+    cx, cy, cz = light["center"]
+    r = np.float32(light["radius"])
+    dzx = cx - mp3[0]
+    dzy = cy - mp3[1]
+    dzz = cz - mp3[2]
+    len2 = dzx * dzx + dzy * dzy + dzz * dzz
+    ln = jnp.sqrt(len2)
+    safe_len = jnp.where(ln == 0.0, 1.0, ln)
+    # frame axis points from the CENTER toward the shading point
+    ux, uy, uz = -dzx / safe_len, -dzy / safe_len, -dzz / safe_len
+    (txx, txy, txz), (bxx, bxy, bxz) = _duff_onb(ux, uy, uz)
+    safe_len2 = jnp.where(len2 == 0.0, 1.0, len2)
+    sin_tm2 = r * r / safe_len2
+    sin_tm = jnp.sqrt(sin_tm2)
+    cos_tm = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_tm2))
+    cos_t = 1.0 + (cos_tm - 1.0) * lu
+    sin_t2 = 1.0 - cos_t * cos_t
+    safe_sin_tm = jnp.where(sin_tm == 0.0, 1.0, sin_tm)
+    safe_sin_tm2 = jnp.where(sin_tm2 == 0.0, 1.0, sin_tm2)
+    cos_a = sin_t2 / safe_sin_tm + cos_t * jnp.sqrt(
+        jnp.maximum(0.0, 1.0 - sin_t2 / safe_sin_tm2)
+    )
+    sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+    phi = _TWO_PI * lv
+    cp, sp_ = jnp.cos(phi), jnp.sin(phi)
+    nsx = cp * sin_a * txx + sp_ * sin_a * bxx + cos_a * ux
+    nsy = cp * sin_a * txy + sp_ * sin_a * bxy + cos_a * uy
+    nsz = cp * sin_a * txz + sp_ * sin_a * bxz + cos_a * uz
+    px = cx + nsx * r
+    py = cy + nsy * r
+    pz = cz + nsz * r
+    dx_ = px - mp3[0]
+    dy_ = py - mp3[1]
+    dz_ = pz - mp3[2]
+    t_max = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+    front = (dx_ * nsx + dy_ * nsy + dz_ * nsz) < 0.0
+    pdf = 1.0 / (_TWO_PI * jnp.maximum(1.0 - cos_tm, np.float32(1e-12)))
+    ts = jnp.where(t_max == 0.0, 1.0, t_max)
+    return (dx_ / ts, dy_ / ts, dz_ / ts), t_max, pdf, front
+
+
+def _het_trace_body(
+    ox, oy, oz, dx, dy, dz, key, bricks_ref, sg_ref, *,
+    cmed, spheres, box, lights, n_iterations, max_depth, nee, max_steps,
+    site_pick, site_light, site_tr, g_hg,
+):
+    """Whole heterogeneous volume path for one (8, 512) tile
+    (integrators/volume.py iteration semantics, line for line)."""
+    shp = ox.shape
+    pcoords = _payload_coords()
+    zero = jnp.zeros(shp, jnp.float32)
+
+    def hg_cos(u):
+        if abs(float(g_hg)) < 1e-3:
+            return 2.0 * u - 1.0
+        sqr = (1.0 - g_hg * g_hg) / (1.0 - g_hg + 2.0 * g_hg * u)
+        return (1.0 + g_hg * g_hg - sqr * sqr) / (2.0 * g_hg)
+
+    def hg_phase_val(cos_t):
+        denom = 1.0 + g_hg * g_hg - 2.0 * g_hg * cos_t
+        return _INV_4PI * (1.0 - g_hg * g_hg) / (denom * jnp.sqrt(denom))
+
+    def iteration(carry):
+        (it, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz, dx, dy, dz, depth,
+         act) = carry
+        o3 = (ox, oy, oz)
+        d3 = (dx, dy, dz)
+        site = it * np.int32(SITES_PER_BOUNCE)
+        active = (act > 0) & (depth < max_depth)
+        h = _intersect(o3, d3, spheres, box)
+        active = active & h["hit"]
+
+        # Russian roulette, depth > 0 (Src/integrator.h:507-514)
+        rr_prob = jnp.minimum((trr + trg + trb) * np.float32(1.0 / 3.0), 1.0)
+        u_rr = _u1_at(key, site + np.int32(_SITE_RR))
+        do_rr = active & (depth > 0)
+        active = active & ~(do_rr & (u_rr >= rr_prob))
+        boost = 1.0 / jnp.maximum(rr_prob, np.float32(1e-12))
+        keep = do_rr & active
+        trr = jnp.where(keep, trr * boost, trr)
+        trg = jnp.where(keep, trg * boost, trg)
+        trb = jnp.where(keep, trb * boost, trb)
+
+        # one-sided emitter Le (area_light_le; depth 0 only under NEE)
+        lrow = h["lrow"]
+        is_emitter = active & (lrow >= 0.0)
+        on = -(dx * h["nsx"] + dy * h["nsy"] + dz * h["nsz"]) > 0.0
+        ler, leg, leb = zero, zero, zero
+        for i, L in enumerate(lights):
+            sel = (lrow == np.float32(i)) & on
+            ler = jnp.where(sel, np.float32(L["le"][0]), ler)
+            leg = jnp.where(sel, np.float32(L["le"][1]), leg)
+            leb = jnp.where(sel, np.float32(L["le"][2]), leb)
+        add_le = is_emitter & (depth == 0) if nee else is_emitter
+        rr_ = rr_ + jnp.where(add_le, trr * ler, 0.0)
+        rg_ = rg_ + jnp.where(add_le, trg * leg, 0.0)
+        rb_ = rb_ + jnp.where(add_le, trb * leb, 0.0)
+        active = active & ~is_emitter
+
+        has_med = active & h["box_win"]
+
+        # ---- weighted delta tracking (media_pallas.track_sample) --------
+        t0v = jnp.where(has_med, h["t"], 0.0)
+        t1v = jnp.where(has_med, h["t1"], 0.0)
+        t_res, w, scat_acc, sstep = track_sample(
+            o3, d3, t0v, t1v, (trr, trg, trb), key,
+            site + np.int32(_SITE_MEDIUM), has_med, bricks_ref, sg_ref,
+            pcoords, cmed, max_steps,
+        )
+        # NaN guard (media.sample_medium wrapper / Src/medium.cpp:83-91)
+        bad = jnp.isnan(w[0]) | jnp.isnan(w[1]) | jnp.isnan(w[2])
+        w = tuple(jnp.where(bad, 0.0, wc) for wc in w)
+        scattered = has_med & (scat_acc > 0)
+
+        # hoisted phase draw (media.py: site + 16 + scat_step*4 + 3)
+        u_p1, u_p2 = _u2_at(
+            key,
+            site + np.int32(_SITE_MEDIUM)
+            + sstep * np.int32(_SITES_PER_STEP) + np.int32(3),
+        )
+        cos_t = hg_cos(u_p1)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = _TWO_PI * u_p2
+        lx = jnp.cos(phi) * sin_t
+        lz = jnp.sin(phi) * sin_t
+        (t0x, t0y, t0z), (b0x, b0y, b0z) = _duff_onb(dx, dy, dz)
+        ndx = lx * t0x + cos_t * dx + lz * b0x
+        ndy = lx * t0y + cos_t * dy + lz * b0y
+        ndz = lx * t0z + cos_t * dz + lz * b0z
+
+        mpx = ox + t_res * dx
+        mpy = oy + t_res * dy
+        mpz = oz + t_res * dz
+
+        # ---- NEE at the scatter vertex (Src/integrator.h:538-631) -------
+        if nee and lights:
+            n_l = len(lights)
+            u_pick = _u1_at(key, site + np.int32(site_pick))
+            lidx = jnp.minimum(
+                (u_pick * np.float32(n_l)).astype(jnp.int32), n_l - 1
+            )
+            lu, lv = _u2_at(key, site + np.int32(site_light))
+            mp3 = (mpx, mpy, mpz)
+            wix = jnp.zeros(shp)
+            wiy = jnp.zeros(shp)
+            wiz = jnp.zeros(shp)
+            pdf = jnp.zeros(shp)
+            ler2, leg2, leb2 = zero, zero, zero
+            for i, L in enumerate(lights):
+                wi3, _tm, pdf_i, front = _cone_sample(mp3, L, lu, lv)
+                sel = lidx == i
+                wix = jnp.where(sel, wi3[0], wix)
+                wiy = jnp.where(sel, wi3[1], wiy)
+                wiz = jnp.where(sel, wi3[2], wiz)
+                pdf = jnp.where(sel, pdf_i * np.float32(1.0 / n_l), pdf)
+                fr = sel & front
+                ler2 = jnp.where(fr, np.float32(L["le"][0]), ler2)
+                leg2 = jnp.where(fr, np.float32(L["le"][1]), leg2)
+                leb2 = jnp.where(fr, np.float32(L["le"][2]), leb2)
+            ok_ = scattered & (pdf > 0.0)
+            # isVisible (Src/integrator.h:604-631): nearest hit from the
+            # scatter point; all spheres here are emitters without
+            # materials, so a surface block is statically impossible — only
+            # the medium box multiplies its ratio-tracked transmittance
+            sh = _intersect(mp3, (wix, wiy, wiz), spheres, box)
+            s_med = ok_ & sh["box_win"]
+            p1 = tuple(mp3[k] + sh["t"] * wv
+                       for k, wv in enumerate((wix, wiy, wiz)))
+            p2 = tuple(
+                jnp.where(s_med, mp3[k] + sh["t1"] * wv, p1[k])
+                for k, wv in enumerate((wix, wiy, wiz))
+            )
+            tr = track_transmittance(
+                p1, p2, key, site + np.int32(site_tr), s_med,
+                bricks_ref, sg_ref, pcoords, cmed, max_steps,
+            )
+            cos_sc = wix * dx + wiy * dy + wiz * dz
+            f = hg_phase_val(cos_sc)
+            pdfs = jnp.where(pdf == 0.0, 1.0, pdf)
+            coef = jnp.where(ok_, f / pdfs, 0.0)
+            rr_ = rr_ + trr * w[0] * tr[0] * ler2 * coef
+            rg_ = rg_ + trg * w[1] * tr[1] * leg2 * coef
+            rb_ = rb_ + trb * w[2] * tr[2] * leb2 * coef
+
+        # ---- advance (Src/integrator.h:456-467) -------------------------
+        ox = jnp.where(has_med, mpx, ox)
+        oy = jnp.where(has_med, mpy, oy)
+        oz = jnp.where(has_med, mpz, oz)
+        dx = jnp.where(scattered, ndx, dx)
+        dy = jnp.where(scattered, ndy, dy)
+        dz = jnp.where(scattered, ndz, dz)
+        trr = jnp.where(has_med, trr * w[0], trr)
+        trg = jnp.where(has_med, trg * w[1], trg)
+        trb = jnp.where(has_med, trb * w[2], trb)
+        depth = depth + scattered.astype(jnp.int32)
+        active = active & has_med & ((trr > 0.0) | (trg > 0.0) | (trb > 0.0))
+        return (it + 1, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz,
+                dx, dy, dz, depth, active.astype(jnp.int32))
+
+    init = (
+        jnp.int32(0), zero, zero, zero,
+        jnp.ones(shp), jnp.ones(shp), jnp.ones(shp),
+        ox, oy, oz, dx, dy, dz,
+        jnp.zeros(shp, jnp.int32), jnp.ones(shp, jnp.int32),
+    )
+    out = lax.while_loop(
+        lambda c: (c[0] < n_iterations) & (jnp.sum(c[14]) > 0),
+        iteration, init,
+    )
+    return out[1], out[2], out[3]
+
+
+def _eligible_het(scene, statics, max_depth):
+    """Concrete-table eligibility (see module docstring), or None."""
+    try:
+        tri_obj = np.asarray(scene.tri_obj)
+        sph_obj = np.asarray(scene.sph_obj)
+        box_obj = np.asarray(scene.box_obj)
+        al_type = np.asarray(scene.al_type)
+        med_type = np.asarray(scene.med_type)
+        obj_light = np.asarray(scene.obj_light)
+        obj_medium = np.asarray(scene.obj_medium)
+        obj_mat = np.asarray(scene.obj_mat)
+    except Exception:
+        return None
+    if max_depth < 1 or max_depth > 128:
+        return None
+    if (tri_obj >= 0).any():
+        return None
+    if (med_type >= 0).sum() != 1:
+        return None
+    boxes = np.flatnonzero(box_obj >= 0)
+    if boxes.size != 1:
+        return None
+    mrow = obj_medium[box_obj[boxes[0]]]
+    if mrow < 0 or med_type[mrow] != MED_HETEROGENEOUS:
+        return None
+    pack = het_pack(scene)
+    if pack is None:
+        return None
+    box = dict(
+        lo=_f3(np.asarray(scene.box_min)[boxes[0]]),
+        hi=_f3(np.asarray(scene.box_max)[boxes[0]]),
+    )
+    spheres = []
+    for s in np.flatnonzero(sph_obj >= 0):
+        obj = sph_obj[s]
+        if obj_light[obj] < 0 or obj_mat[obj] >= 0 or obj_medium[obj] >= 0:
+            return None                 # non-emissive sphere: fall back
+        spheres.append(dict(
+            center=_f3(np.asarray(scene.sph_center)[s]),
+            radius=float(np.asarray(scene.sph_radius)[s]),
+            lrow=int(obj_light[obj]),
+        ))
+    n_lights = statics["n_area_lights"]
+    if n_lights > 2:
+        return None
+    lights = []
+    for i in range(n_lights):
+        if al_type[i] != AL_SPHERE:
+            return None
+        lights.append(dict(
+            center=_f3(np.asarray(scene.al_center)[i]),
+            radius=float(np.asarray(scene.al_radius)[i]),
+            le=_f3(np.asarray(scene.al_le)[i]),
+        ))
+    return pack, spheres, box, tuple(lights), int(mrow)
+
+
+def _het_consts(scene, statics, max_depth, nee, max_steps, n_iterations):
+    from ..media import default_max_steps
+    from .volume import _nee_site_layout
+
+    el = _eligible_het(scene, statics, max_depth)
+    if el is None:
+        return None
+    pack, spheres, box, lights, mrow = el
+    if max_steps is None:
+        max_steps = default_max_steps(scene)
+    pick, light_site, tr_site = _nee_site_layout(max_steps)
+    if n_iterations is None:
+        n_iterations = 2 * max_depth + 2
+    cmed = dict(pack["consts"])
+    cmed["nb"] = pack["nb"]
+    consts = dict(
+        cmed=cmed, spheres=tuple(spheres), box=box, lights=tuple(lights),
+        n_iterations=np.int32(n_iterations), max_depth=max_depth, nee=nee,
+        max_steps=int(max_steps), site_pick=pick, site_light=light_site,
+        site_tr=tr_site,
+        g_hg=np.float32(np.asarray(scene.med_g)[mrow]),
+    )
+    return consts, pack
+
+
+def try_make_fused_het_path_integrator(
+    scene, statics, max_depth, nee=False, max_steps=None, n_iterations=None,
+    interpret=False, force=False,
+):
+    """Build the fused heterogeneous-volume integrate(rays, keys) if the
+    scene qualifies, else None."""
+    if not force:
+        try:
+            if jax.devices()[0].platform != "tpu":
+                return None
+        except Exception:
+            return None
+    made = _het_consts(scene, statics, max_depth, nee, max_steps,
+                       n_iterations)
+    if made is None:
+        return None
+    consts, pack = made
+    bricks, sg = pack["bricks"], pack["sg"]
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, key_ref,
+               bricks_ref, sg_ref, rr_ref, rg_ref, rb_ref):
+        rr, rg, rb = _het_trace_body(
+            ox_ref[...], oy_ref[...], oz_ref[...],
+            dx_ref[...], dy_ref[...], dz_ref[...], key_ref[...],
+            bricks_ref, sg_ref, **consts,
+        )
+        rr_ref[...] = rr
+        rg_ref[...] = rg
+        rb_ref[...] = rb
+
+    io_spec = pl.BlockSpec(
+        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    table_specs = [
+        pl.BlockSpec(bricks.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(sg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    def integrate(rays, keys):
+        n = rays.o.shape[0]
+        n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+        n_tiles = n_pad // RAY_TILE
+        grid_rows = n_tiles * RAY_ROWS
+
+        def lane(x):
+            if n_pad != n:
+                x = jnp.pad(x, (0, n_pad - n))
+            return x.reshape(grid_rows, RAY_LANES)
+
+        comps = [lane(rays.o[:, 0]), lane(rays.o[:, 1]), lane(rays.o[:, 2]),
+                 lane(rays.d[:, 0]), lane(rays.d[:, 1]), lane(rays.d[:, 2]),
+                 lane(keys.astype(jnp.uint32))]
+        out_shape = jax.ShapeDtypeStruct((grid_rows, RAY_LANES), jnp.float32)
+        r, g, b = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[io_spec] * 7 + table_specs,
+            out_specs=[io_spec] * 3,
+            out_shape=[out_shape] * 3,
+            interpret=interpret,
+        )(*comps, bricks, sg)
+        return jnp.stack(
+            [r.reshape(-1)[:n], g.reshape(-1)[:n], b.reshape(-1)[:n]],
+            axis=-1,
+        )
+
+    return integrate
+
+
+def try_make_fused_het_spp_render(
+    scene, statics, camera, width, height, seed, max_depth, nee=False,
+    max_steps=None, n_iterations=None, interpret=False, force=False,
+):
+    """Whole-render fused heterogeneous path: in-kernel spp loop around
+    ``_het_trace_body`` (megakernel.make_spp_render plumbing)."""
+    from ..camera import PinholeCamera
+
+    if not force:
+        try:
+            if jax.devices()[0].platform != "tpu":
+                return None
+        except Exception:
+            return None
+    if not isinstance(camera, PinholeCamera):
+        return None
+    made = _het_consts(scene, statics, max_depth, nee, max_steps,
+                       n_iterations)
+    if made is None:
+        return None
+    consts, pack = made
+    bricks, sg = pack["bricks"], pack["sg"]
+    table_specs = [
+        pl.BlockSpec(bricks.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(sg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    trace = partial(_het_trace_body, **consts)
+    return make_spp_render(
+        trace, (bricks, sg), table_specs, camera, width, height, seed,
+        interpret=interpret,
+    )

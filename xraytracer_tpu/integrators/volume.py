@@ -98,6 +98,26 @@ def make_volume_integrator(
         from ..media import default_max_steps
 
         max_steps = default_max_steps(scene)
+    # fully-fused heterogeneous path (het_megakernel.py): the reference's
+    # cloud workloads (grid box + emissive spheres, volume.cpp / nee.cpp)
+    # run the WHOLE path in one Pallas call per tile
+    if (
+        fused == "auto" and tri_fn is None and not with_stats
+        and not differentiable and statics["has_heterogeneous"]
+    ):
+        from .het_megakernel import try_make_fused_het_path_integrator
+
+        fi = try_make_fused_het_path_integrator(
+            scene, statics, max_depth, nee=nee, max_steps=max_steps,
+            n_iterations=n_iterations,
+        )
+        if fi is not None:
+            fi.fused_spec = dict(
+                kind="het_volume", scene=scene, statics=statics,
+                max_depth=max_depth, nee=nee, max_steps=max_steps,
+                n_iterations=n_iterations,
+            )
+            return fi
     # fused heterogeneous tracking kernels (media_pallas.py): on TPU, for
     # eligible grids, the delta-tracking sample and the NEE ratio-tracking
     # transmittance each run as ONE Pallas call per wavefront instead of

@@ -91,6 +91,14 @@ def _u1_at(key, offs_i32):
     return _tof(_pcg(key + offs_i32.astype(jnp.uint32) * _GOLDEN))
 
 
+def _u2_at(key, offs_i32):
+    """uniform2 at a runtime int32 site offset (array offsets allowed —
+    the hoisted phase draw uses per-lane scat_step sites)."""
+    x1 = _pcg(key + offs_i32.astype(jnp.uint32) * _GOLDEN)
+    x2 = _pcg(x1)
+    return _tof(x1), _tof(x2)
+
+
 def round_bf16(a):
     """f32 -> nearest bf16 -> f32 (the field the fused kernels sample)."""
     import ml_dtypes
@@ -398,25 +406,20 @@ def _pick_channel(w0, w1, w2, u):
 # --------------------------------------------------------------------------
 
 
-def _sample_kernel(
-    site_ref, ox, oy, oz, dx, dy, dz, t0, t1, tp0, tp1, tp2, key, hmask,
-    bricks_ref, sg_ref, t_out, w0_out, w1_out, w2_out, scat_out, step_out,
-    *, c, max_steps,
+def track_sample(
+    o3, d3, t0v, t1v, tpv, key_v, site, active0, bricks_ref, sg_ref,
+    pcoords, c, max_steps,
 ):
-    """Fused media._sample_heterogeneous for one (8, 512) tile."""
-    site = site_ref[0]
-    o3 = (ox[...], oy[...], oz[...])
-    d3 = (dx[...], dy[...], dz[...])
-    key_v = key[...]
-    active0 = hmask[...] > 0
-    t0v, t1v = t0[...], t1[...]
+    """In-kernel weighted delta tracking (media._sample_heterogeneous
+    parity) over (8, 512) planes. ``site``: int32 scalar; ``active0``:
+    bool plane. Returns (t_res, (w0, w1, w2), scattered(int32),
+    scat_step(int32)) — the phase direction is drawn by the caller at
+    site + scat_step*SITES_PER_STEP + 3."""
     t0f = t0v
     t1f = jnp.maximum(t1v, t0f)
-    tpv = (tp0[...], tp1[...], tp2[...])
 
     seg_t, seg_m, tau_edges = _dda_segments(o3, d3, t0f, t1f, sg_ref, c)
     tau_total = tau_edges[-1] - np.float32(RAY_EPS) * c["majorant"]
-    pcoords = _payload_coords()
 
     # entry sigma_a for the first channel pick (Src/medium.cpp:52-54)
     p_entry = tuple(o3[k] + t0v * d3[k] for k in range(3))
@@ -527,25 +530,36 @@ def _sample_kernel(
     (_, act, _, w0, w1, w2, _, _, _, _, t_res, sstep, scat_acc) = out
     # exhausted lanes: weight 0 (bounded-loop policy, media.py)
     alive = act > 0
+    w = tuple(jnp.where(alive, 0.0, wc) for wc in (w0, w1, w2))
+    return t_res, w, scat_acc, sstep
+
+
+def _sample_kernel(
+    site_ref, ox, oy, oz, dx, dy, dz, t0, t1, tp0, tp1, tp2, key, hmask,
+    bricks_ref, sg_ref, t_out, w0_out, w1_out, w2_out, scat_out, step_out,
+    *, c, max_steps,
+):
+    """Fused media._sample_heterogeneous for one (8, 512) tile."""
+    t0v, t1v = t0[...], t1[...]
+    t_res, w, scat_acc, sstep = track_sample(
+        (ox[...], oy[...], oz[...]), (dx[...], dy[...], dz[...]),
+        t0v, t1v, (tp0[...], tp1[...], tp2[...]), key[...], site_ref[0],
+        hmask[...] > 0, bricks_ref, sg_ref, _payload_coords(), c, max_steps,
+    )
     t_out[...] = t_res
-    w0_out[...] = jnp.where(alive, 0.0, w0)
-    w1_out[...] = jnp.where(alive, 0.0, w1)
-    w2_out[...] = jnp.where(alive, 0.0, w2)
+    w0_out[...] = w[0]
+    w1_out[...] = w[1]
+    w2_out[...] = w[2]
     scat_out[...] = scat_acc.astype(jnp.float32)
     step_out[...] = sstep.astype(jnp.float32)
 
 
-def _transmittance_kernel(
-    site_ref, p1x, p1y, p1z, p2x, p2y, p2z, key, hmask, bricks_ref, sg_ref,
-    t0_out, t1_out, t2_out, *, c, max_steps,
+def track_transmittance(
+    o3, q3, key_v, site, active0, bricks_ref, sg_ref, pcoords, c, max_steps,
 ):
-    """Fused ratio-tracking transmittance (media.segment_transmittance het
-    branch; reference: Src/medium.h:360-386)."""
-    site = site_ref[0]
-    o3 = (p1x[...], p1y[...], p1z[...])
-    q3 = (p2x[...], p2y[...], p2z[...])
-    key_v = key[...]
-    active0 = hmask[...] > 0
+    """In-kernel ratio tracking between point planes ``o3`` -> ``q3``
+    (media.segment_transmittance het-branch parity; reference:
+    Src/medium.h:360-386). Returns (tr0, tr1, tr2)."""
     dvx = q3[0] - o3[0]
     dvy = q3[1] - o3[1]
     dvz = q3[2] - o3[2]
@@ -556,7 +570,6 @@ def _transmittance_kernel(
 
     seg_t, seg_m, tau_edges = _dda_segments(o3, d3, zero, dist, sg_ref, c)
     tau_total = tau_edges[-1]
-    pcoords = _payload_coords()
 
     def body(state):
         step, act, tau, tr0, tr1, tr2 = state
@@ -588,9 +601,23 @@ def _transmittance_kernel(
     )
     _, act, _, tr0, tr1, tr2 = lax.while_loop(cond, body, init)
     alive = act > 0                 # exhausted -> 0 (never biased bright)
-    t0_out[...] = jnp.where(alive, 0.0, tr0)
-    t1_out[...] = jnp.where(alive, 0.0, tr1)
-    t2_out[...] = jnp.where(alive, 0.0, tr2)
+    return tuple(jnp.where(alive, 0.0, tr) for tr in (tr0, tr1, tr2))
+
+
+def _transmittance_kernel(
+    site_ref, p1x, p1y, p1z, p2x, p2y, p2z, key, hmask, bricks_ref, sg_ref,
+    t0_out, t1_out, t2_out, *, c, max_steps,
+):
+    """Fused ratio-tracking transmittance (media.segment_transmittance het
+    branch; reference: Src/medium.h:360-386)."""
+    tr = track_transmittance(
+        (p1x[...], p1y[...], p1z[...]), (p2x[...], p2y[...], p2z[...]),
+        key[...], site_ref[0], hmask[...] > 0, bricks_ref, sg_ref,
+        _payload_coords(), c, max_steps,
+    )
+    t0_out[...] = tr[0]
+    t1_out[...] = tr[1]
+    t2_out[...] = tr[2]
 
 
 # --------------------------------------------------------------------------

@@ -268,9 +268,14 @@ class WavefrontRenderer:
         spec = getattr(integrate, "fused_spec", None)
         if spec is not None and sharding is None:
             spec = dict(spec)
-            if spec.pop("kind", "surface") == "volume":
+            kind = spec.pop("kind", "surface")
+            if kind == "volume":
                 from .integrators.vol_megakernel import (
                     try_make_fused_volume_spp_render as _mk,
+                )
+            elif kind == "het_volume":
+                from .integrators.het_megakernel import (
+                    try_make_fused_het_spp_render as _mk,
                 )
             else:
                 from .integrators.megakernel import (
