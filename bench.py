@@ -13,7 +13,10 @@ self-set target in BASELINE.json: primary-rays/s on the GI Cornell box
     the second half of BASELINE.json's declared throughput metric;
   * vpt_rays_per_s — homogeneous VolumePathTracing preset (256x256 depth 10);
   * het_tracking_ms — one heterogeneous delta-tracking wavefront
-    (65k lanes, bounded masked loop) on the procedural cloud.
+    (65k lanes, bounded masked loop) on the procedural cloud;
+  * het_nee_ms_per_spp — the reference nee workload (cloud + sphere light,
+    VolumePathTracingNEE depth 32) at 256x256 through the fully-fused
+    heterogeneous megakernel.
 Set XRT_BENCH_FAST=1 to skip the extras (primary metric only).
 """
 
@@ -147,6 +150,25 @@ def _bench_het_tracking():
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def _bench_het_nee():
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators import make_volume_integrator
+    from xraytracer_tpu.renderer import WavefrontRenderer
+    from xraytracer_tpu.scene.builder import scene_statics
+    from xraytracer_tpu.scene.presets import preset_nee
+
+    tables, cam_kwargs, cfg = preset_nee()
+    w = h = 256
+    statics = scene_statics(tables)
+    camera = PinholeCamera.make(w / h, **cam_kwargs)
+    integrate = make_volume_integrator(
+        tables, statics, cfg["max_depth"], nee=True
+    )
+    renderer = WavefrontRenderer(tables, camera, integrate, w, h, seed=0)
+    renderer.render(1)
+    return renderer.render(8).seconds / 8 * 1e3
+
+
 def main():
     import jax
 
@@ -168,6 +190,7 @@ def main():
             ("fwd_bwd_rays_per_s", _bench_gi_fwd_bwd),
             ("vpt_rays_per_s", _bench_vpt),
             ("het_tracking_ms", _bench_het_tracking),
+            ("het_nee_ms_per_spp", _bench_het_nee),
         ):
             try:
                 extra[name] = fn()

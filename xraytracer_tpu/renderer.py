@@ -130,10 +130,18 @@ def make_chunk_fn(sample_once, donate=True):
 
 def make_fused_chunk_fn(fused_render):
     """Chunk runner over a whole-render fused kernel
-    (megakernel.try_make_fused_spp_render): ONE device call per spp chunk —
-    camera generation, path tracing, rejection, and accumulation all happen
-    in-kernel; s0/n_spp are dynamic so a single compile serves every chunk
-    size. Drop-in signature-compatible with make_chunk_fn's runner."""
+    (megakernel.try_make_fused_spp_render): camera generation, path
+    tracing, rejection, and accumulation all happen in-kernel; s0/n_spp
+    are dynamic so a single compile serves every chunk size. Drop-in
+    signature-compatible with make_chunk_fn's runner.
+
+    Each DEVICE CALL is capped at 64 in-kernel samples: a single pallas
+    call running for minutes trips the TPU runtime's execution watchdog
+    and kills the worker (measured on the depth-100 heterogeneous
+    megakernel: a ~67 s 512-spp call crashed the worker; ~41 s survived).
+    The host loop preserves exact accumulation — sums are associative and
+    RNG keys are pure functions of (pixel, sample)."""
+    MAX_SPP_PER_CALL = 64
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(acc, nrej, s0, n):
@@ -141,7 +149,12 @@ def make_fused_chunk_fn(fused_render):
         return acc + rad, nrej + rej
 
     def run_chunk(acc, nrej, pixel_ids, pixel_xy, s0, n, stats_acc=None):
-        acc, nrej = step(acc, nrej, jnp.int32(s0), jnp.int32(n))
+        s = 0
+        n = int(n)
+        while s < n:
+            k = min(MAX_SPP_PER_CALL, n - s)
+            acc, nrej = step(acc, nrej, jnp.int32(s0 + s), jnp.int32(k))
+            s += k
         return acc, nrej, stats_acc
 
     return run_chunk
