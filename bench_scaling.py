@@ -5,7 +5,10 @@ On this machine there is ONE real TPU chip, so true multi-chip scaling
 can't be measured; this harness instead validates the scaling SHAPE of the
 sharded renderer on an N-device virtual CPU mesh (the same mesh mechanics
 a pod uses — pixel-axis NamedSharding, no collectives) and prints a table.
-Run on a real pod, the same code measures real scaling.
+Run on a real pod, the same code measures real scaling — and on TPU the
+sharded renderer engages the fused megakernel per device slice
+(megakernel.make_spp_render(mesh=...)), so the scaling numbers measure the
+flagship fused path, not the wavefront fallback.
 
 Usage: python bench_scaling.py [--devices 1 2 4 8] [--spp 4]
 """

@@ -518,6 +518,7 @@ def try_make_fused_het_path_integrator(
 def try_make_fused_het_spp_render(
     scene, statics, camera, width, height, seed, max_depth, nee=False,
     max_steps=None, n_iterations=None, interpret=False, force=False,
+    mesh=None, mesh_axis="d",
 ):
     """Whole-render fused heterogeneous path: in-kernel spp loop around
     ``_het_trace_body`` (megakernel.make_spp_render plumbing)."""
@@ -545,5 +546,5 @@ def try_make_fused_het_spp_render(
     trace = partial(_het_trace_body, **consts)
     return make_spp_render(
         trace, (bricks, sg), table_specs, camera, width, height, seed,
-        interpret=interpret,
+        interpret=interpret, mesh=mesh, mesh_axis=mesh_axis,
     )

@@ -775,6 +775,7 @@ def _mega_spp_kernel(
 def try_make_fused_spp_render(
     scene, statics, camera, width, height, seed, max_depth, nee=True,
     le_depth0_only=None, cosine_sampling=False, interpret=False, force=False,
+    mesh=None, mesh_axis="d",
 ):
     """Build ``render_chunk(s0, n_spp) -> (radiance_sum (N,3), n_rejected)``
     running the whole spp chunk in one Pallas call, or None if the scene /
@@ -801,15 +802,29 @@ def try_make_fused_spp_render(
     return make_spp_render(
         trace, tables, table_specs,
         camera, width, height, seed, interpret=interpret,
+        mesh=mesh, mesh_axis=mesh_axis,
     )
 
 
 def make_spp_render(
     trace, tables, table_specs, camera, width, height, seed, interpret=False,
+    mesh=None, mesh_axis="d",
 ):
     """Assemble ``render_chunk(s0, n_spp)`` around any whole-path trace body
     (surface or volume): bakes camera constants, precomputes the per-pixel
-    PCG fold and pixel coordinates, and wires ``_mega_spp_kernel``."""
+    PCG fold and pixel coordinates, and wires ``_mega_spp_kernel``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the multi-chip fused path
+    (the ParallelRenderer analogue for the megakernels, SURVEY.md §2.5):
+    the per-pixel arrays are split along ``mesh_axis`` with ``shard_map``
+    and every device runs the SAME compiled kernel over its contiguous
+    pixel-row slice; scene tables are replicated, no collectives (each
+    lane owns its pixel, so the image is bitwise-identical to the
+    single-device kernel). The returned radiance stays PADDED to
+    ``render_chunk.n_pad`` rows (a multiple of mesh size x RAY_TILE) so
+    the accumulation buffer can keep the same sharding; the caller slices
+    to ``width*height`` at image assembly.
+    """
     from ..renderer import CAMERA_SITE
     from ..sampling.rng import _pcg as rng_pcg, base_key
 
@@ -826,11 +841,13 @@ def make_spp_render(
         inv_h=np.float32(1.0 / height),
     )
 
+    n_dev = 1 if mesh is None else int(mesh.shape[mesh_axis])
     n = width * height
     ids = np.arange(n, dtype=np.uint32)
     pixfold = np.asarray(rng_pcg(base_key(seed) + jnp.asarray(ids)))
     pxy = (ids % width).astype(np.float32), (ids // width).astype(np.float32)
-    n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    unit = RAY_TILE * n_dev
+    n_pad = ((n + unit - 1) // unit) * unit
     n_tiles = n_pad // RAY_TILE
     grid_rows = n_tiles * RAY_ROWS
 
@@ -849,24 +866,50 @@ def make_spp_render(
         (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_shape = jax.ShapeDtypeStruct((grid_rows, RAY_LANES), jnp.float32)
-    rej_shape = jax.ShapeDtypeStruct((grid_rows, RAY_LANES), jnp.int32)
 
-    def render_chunk(s0, n_spp):
-        srange = jnp.stack([jnp.asarray(s0, jnp.int32),
-                            jnp.asarray(n_spp, jnp.int32)])
-        r, g, b, rej = pl.pallas_call(
+    def pallas_chunk(srange, pixfold_s, px_s, py_s, *tabs):
+        rows = pixfold_s.shape[0]
+        out_shape = jax.ShapeDtypeStruct((rows, RAY_LANES), jnp.float32)
+        rej_shape = jax.ShapeDtypeStruct((rows, RAY_LANES), jnp.int32)
+        return pl.pallas_call(
             kernel,
-            grid=(n_tiles,),
+            grid=(rows // RAY_ROWS,),
             in_specs=[smem_spec] + [io_spec] * 3 + list(table_specs),
             out_specs=[io_spec] * 3 + [io_spec],
             out_shape=[out_shape] * 3 + [rej_shape],
             interpret=interpret,
-        )(srange, pixfold_l, px_l, py_l, *tables)
-        rad = jnp.stack(
-            [r.reshape(-1)[:n], g.reshape(-1)[:n], b.reshape(-1)[:n]],
-            axis=-1,
+        )(srange, pixfold_s, px_s, py_s, *tabs)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        pallas_sharded = jax.shard_map(
+            pallas_chunk,
+            mesh=mesh,
+            in_specs=(P(),) + (P(mesh_axis),) * 3
+            + tuple(P() for _ in tables),
+            out_specs=(P(mesh_axis),) * 4,
+            check_vma=False,
         )
+
+    def call_once(s0, n_spp):
+        srange = jnp.stack([jnp.asarray(s0, jnp.int32),
+                            jnp.asarray(n_spp, jnp.int32)])
+        fn = pallas_chunk if mesh is None else pallas_sharded
+        r, g, b, rej = fn(srange, pixfold_l, px_l, py_l, *tables)
+        if mesh is not None:
+            # stay padded (sharding-aligned); pad lanes render pixel 0's
+            # stream but are excluded from the image and the reject count
+            rad = jnp.stack(
+                [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1
+            )
+        else:
+            rad = jnp.stack(
+                [r.reshape(-1)[:n], g.reshape(-1)[:n], b.reshape(-1)[:n]],
+                axis=-1,
+            )
         return rad, rej.reshape(-1)[:n].sum()
 
-    return render_chunk
+    call_once.n_pad = n_pad
+    call_once.sharded = mesh is not None
+    return call_once

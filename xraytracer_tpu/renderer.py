@@ -279,7 +279,21 @@ class WavefrontRenderer:
         )
         self.run_chunk = None
         spec = getattr(integrate, "fused_spec", None)
-        if spec is not None and sharding is None:
+        # sharded renders can use the fused kernels too, provided the
+        # sharding is a plain 1-axis pixel split (pixel_sharding): the
+        # megakernel then runs per device slice under shard_map
+        mesh_kwargs = {}
+        if sharding is not None:
+            axis = None
+            try:
+                axis = sharding.spec[0]
+            except Exception:
+                pass
+            if isinstance(axis, str):
+                mesh_kwargs = dict(mesh=sharding.mesh, mesh_axis=axis)
+            else:
+                spec = None  # unsupported sharding layout: wavefront path
+        if spec is not None:
             spec = dict(spec)
             kind = spec.pop("kind", "surface")
             if kind == "volume":
@@ -295,10 +309,22 @@ class WavefrontRenderer:
                     try_make_fused_spp_render as _mk,
                 )
             fused = _mk(
-                camera=camera, width=width, height=height, seed=seed, **spec
+                camera=camera, width=width, height=height, seed=seed,
+                **spec, **mesh_kwargs,
             )
             if fused is not None:
                 self.run_chunk = make_fused_chunk_fn(fused)
+                if self.pixel_order != "raster":
+                    # the fused kernels generate pixels in raster order
+                    # internally — a requested Z-order traversal would
+                    # mis-permute the assembly (and buys nothing here)
+                    self.pixel_order = "raster"
+                    self._ids_np = np.arange(self.n_pix, dtype=np.int32)
+                if getattr(fused, "sharded", False):
+                    # the sharded fused kernel keeps radiance PADDED to a
+                    # multiple of mesh-size x RAY_TILE rows; align the
+                    # accumulator padding with it
+                    self._pad = fused.n_pad - self.n_pix
         if self.run_chunk is None:
             self.run_chunk = make_chunk_fn(self.sample_once)
 
