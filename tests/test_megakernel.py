@@ -138,6 +138,35 @@ def test_fused_spp_render_matches_renderer():
     assert img.mean() > 1e-3
 
 
+def test_fused_spp_render_morton_bitwise():
+    """Z-order lane traversal in the fused spp kernel (tile = compact pixel
+    block, for in-kernel chunk culling) reassembles to the bitwise-same
+    image as raster order: per-pixel RNG streams depend only on pixel id."""
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators.megakernel import (
+        try_make_fused_spp_render,
+    )
+    from xraytracer_tpu.scene.presets import cornell_camera
+
+    tables, statics = _cornell()
+    w, h = 64, 48
+    camera = PinholeCamera.make(w / h, **cornell_camera())
+    kw = dict(max_depth=2, nee=True, interpret=True, force=True)
+    raster = try_make_fused_spp_render(
+        tables, statics, camera, w, h, seed=3, **kw
+    )
+    morton = try_make_fused_spp_render(
+        tables, statics, camera, w, h, seed=3, pixel_order="morton", **kw
+    )
+    rad_r, rej_r = raster(0, 2)
+    rad_m, rej_m = morton(0, 2)
+    n = w * h
+    out = np.empty((n, 3), np.float32)
+    out[np.asarray(morton.pixel_ids)] = np.asarray(rad_m)[:n]
+    np.testing.assert_array_equal(out, np.asarray(rad_r)[:n])
+    assert int(rej_r) == int(rej_m)
+
+
 def test_fused_spp_render_sharded_bitwise():
     """The shard_map-wrapped fused render (the multi-chip ParallelRenderer
     analogue for the megakernels) is bitwise-identical to the single-device

@@ -518,7 +518,7 @@ def try_make_fused_het_path_integrator(
 def try_make_fused_het_spp_render(
     scene, statics, camera, width, height, seed, max_depth, nee=False,
     max_steps=None, n_iterations=None, interpret=False, force=False,
-    mesh=None, mesh_axis="d",
+    mesh=None, mesh_axis="d", pixel_order="raster",
 ):
     """Whole-render fused heterogeneous path: in-kernel spp loop around
     ``_het_trace_body`` (megakernel.make_spp_render plumbing)."""
@@ -547,4 +547,5 @@ def try_make_fused_het_spp_render(
     return make_spp_render(
         trace, (bricks, sg), table_specs, camera, width, height, seed,
         interpret=interpret, mesh=mesh, mesh_axis=mesh_axis,
+        pixel_order=pixel_order,
     )

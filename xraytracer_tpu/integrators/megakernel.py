@@ -775,7 +775,7 @@ def _mega_spp_kernel(
 def try_make_fused_spp_render(
     scene, statics, camera, width, height, seed, max_depth, nee=True,
     le_depth0_only=None, cosine_sampling=False, interpret=False, force=False,
-    mesh=None, mesh_axis="d",
+    mesh=None, mesh_axis="d", pixel_order="raster",
 ):
     """Build ``render_chunk(s0, n_spp) -> (radiance_sum (N,3), n_rejected)``
     running the whole spp chunk in one Pallas call, or None if the scene /
@@ -802,17 +802,27 @@ def try_make_fused_spp_render(
     return make_spp_render(
         trace, tables, table_specs,
         camera, width, height, seed, interpret=interpret,
-        mesh=mesh, mesh_axis=mesh_axis,
+        mesh=mesh, mesh_axis=mesh_axis, pixel_order=pixel_order,
     )
 
 
 def make_spp_render(
     trace, tables, table_specs, camera, width, height, seed, interpret=False,
-    mesh=None, mesh_axis="d",
+    mesh=None, mesh_axis="d", pixel_order="raster",
 ):
     """Assemble ``render_chunk(s0, n_spp)`` around any whole-path trace body
     (surface or volume): bakes camera constants, precomputes the per-pixel
     PCG fold and pixel coordinates, and wires ``_mega_spp_kernel``.
+
+    ``pixel_order``: "raster" or "morton" — the LANE traversal order of the
+    baked per-pixel arrays. "morton" makes each 4096-ray tile a compact
+    2-D pixel block instead of 16 scanlines, which tightens the primary
+    (and NEE shadow) ray cones per 1024-lane sweep group so the in-kernel
+    chunk AABB culling can skip whole chunks (the same argument as
+    renderer.pixel_grid's Z-order for the streamed wavefront sweeps).
+    Radiance comes back in LANE order; ``render_chunk.pixel_ids`` records
+    the lane -> pixel-id map for assembly. Per-pixel RNG streams depend
+    only on the pixel id, so images are bitwise-identical across orders.
 
     ``mesh``: optional ``jax.sharding.Mesh`` — the multi-chip fused path
     (the ParallelRenderer analogue for the megakernels, SURVEY.md §2.5):
@@ -844,6 +854,10 @@ def make_spp_render(
     n_dev = 1 if mesh is None else int(mesh.shape[mesh_axis])
     n = width * height
     ids = np.arange(n, dtype=np.uint32)
+    if pixel_order == "morton":
+        from ..renderer import _morton_argsort
+
+        ids = ids[_morton_argsort(width, height)]
     pixfold = np.asarray(rng_pcg(base_key(seed) + jnp.asarray(ids)))
     pxy = (ids % width).astype(np.float32), (ids // width).astype(np.float32)
     unit = RAY_TILE * n_dev
@@ -912,4 +926,6 @@ def make_spp_render(
 
     call_once.n_pad = n_pad
     call_once.sharded = mesh is not None
+    call_once.pixel_ids = ids                 # lane -> pixel id (assembly)
+    call_once.pixel_order = pixel_order
     return call_once

@@ -571,7 +571,7 @@ def try_make_fused_volume_integrator(
 def try_make_fused_volume_spp_render(
     scene, statics, camera, width, height, seed, max_depth, nee=False,
     max_steps=None, n_iterations=None, interpret=False, force=False,
-    mesh=None, mesh_axis="d",
+    mesh=None, mesh_axis="d", pixel_order="raster",
 ):
     """Whole-render fused volume path: in-kernel spp loop around
     ``_vol_trace_body`` (see megakernel.make_spp_render)."""
@@ -592,5 +592,5 @@ def try_make_fused_volume_spp_render(
     trace = partial(_vol_trace_body, **consts)
     return make_spp_render(
         trace, (), (), camera, width, height, seed, interpret=interpret,
-        mesh=mesh, mesh_axis=mesh_axis,
+        mesh=mesh, mesh_axis=mesh_axis, pixel_order=pixel_order,
     )

@@ -251,10 +251,11 @@ class WavefrontRenderer:
         self.sharding = sharding
         self.n_pix = width * height
         if pixel_order == "auto":
-            # Z-order traversal pays off exactly where the streamed culled
-            # sweeps serve: meshes past the megakernel gate
+            # Z-order traversal pays off wherever the sweeps chunk-cull:
+            # multi-chunk tables (> 128 triangles), both the in-kernel
+            # megakernel culling and the streamed wavefront sweeps
             try:
-                big = int(np.sum(np.asarray(scene.tri_obj) >= 0)) > 4096
+                big = int(np.sum(np.asarray(scene.tri_obj) >= 0)) > 128
             except Exception:
                 big = False
             pixel_order = "morton" if big else "raster"
@@ -310,16 +311,13 @@ class WavefrontRenderer:
                 )
             fused = _mk(
                 camera=camera, width=width, height=height, seed=seed,
-                **spec, **mesh_kwargs,
+                **spec, **mesh_kwargs, pixel_order=self.pixel_order,
             )
             if fused is not None:
                 self.run_chunk = make_fused_chunk_fn(fused)
-                if self.pixel_order != "raster":
-                    # the fused kernels generate pixels in raster order
-                    # internally — a requested Z-order traversal would
-                    # mis-permute the assembly (and buys nothing here)
-                    self.pixel_order = "raster"
-                    self._ids_np = np.arange(self.n_pix, dtype=np.int32)
+                # adopt the kernel's own lane -> pixel map for assembly
+                # (bakes pixels itself; identical to pixel_grid's order)
+                self._ids_np = np.asarray(fused.pixel_ids, np.int32)
                 if getattr(fused, "sharded", False):
                     # the sharded fused kernel keeps radiance PADDED to a
                     # multiple of mesh-size x RAY_TILE rows; align the
