@@ -323,3 +323,36 @@ def test_pixel_order_morton_image_identical():
         )
         imgs.append(r.render(2).image)
     np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def test_checkpoint_resume_across_pixel_orders(tmp_path):
+    """A checkpoint written under one lane traversal (raster) resumed by a
+    renderer using another (morton) must remap the stored sums instead of
+    accumulating mixed orders (code-review round-2 finding: the auto-morton
+    threshold change would have silently corrupted pre-existing
+    checkpoints)."""
+    import os
+
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.renderer import Accumulator, WavefrontRenderer
+    from xraytracer_tpu.scene.builder import scene_statics
+    from xraytracer_tpu.scene.presets import build_cornell_box, cornell_camera
+
+    tables = build_cornell_box().build()
+    statics = scene_statics(tables)
+    w, h = 32, 24
+    camera = PinholeCamera.make(w / h, **cornell_camera())
+
+    def renderer(order):
+        integ = make_path_integrator(tables, statics, 2, nee=True,
+                                     fused="never")
+        return WavefrontRenderer(tables, camera, integ, w, h, seed=5,
+                                 pixel_order=order)
+
+    ckpt = os.path.join(tmp_path, "acc.npz")
+    renderer("raster").render(2, checkpoint_path=ckpt)
+    resumed = renderer("morton").render(
+        4, accumulator=Accumulator.load(ckpt)
+    )
+    full = renderer("raster").render(4)
+    np.testing.assert_array_equal(resumed.image, full.image)

@@ -853,13 +853,16 @@ def make_spp_render(
 
     n_dev = 1 if mesh is None else int(mesh.shape[mesh_axis])
     n = width * height
-    ids = np.arange(n, dtype=np.uint32)
-    if pixel_order == "morton":
-        from ..renderer import _morton_argsort
+    # single source of truth for the lane order (renderer.pixel_grid) —
+    # the renderer adopts ``pixel_ids`` for assembly, so both sides must
+    # derive the traversal from the same function
+    from ..renderer import pixel_grid
 
-        ids = ids[_morton_argsort(width, height)]
+    ids_j, pxy_j = pixel_grid(width, height, order=pixel_order)
+    ids = np.asarray(ids_j).astype(np.uint32)
     pixfold = np.asarray(rng_pcg(base_key(seed) + jnp.asarray(ids)))
-    pxy = (ids % width).astype(np.float32), (ids // width).astype(np.float32)
+    pxy_np = np.asarray(pxy_j)
+    pxy = pxy_np[:, 0], pxy_np[:, 1]
     unit = RAY_TILE * n_dev
     n_pad = ((n + unit - 1) // unit) * unit
     n_tiles = n_pad // RAY_TILE
@@ -912,8 +915,9 @@ def make_spp_render(
         fn = pallas_chunk if mesh is None else pallas_sharded
         r, g, b, rej = fn(srange, pixfold_l, px_l, py_l, *tables)
         if mesh is not None:
-            # stay padded (sharding-aligned); pad lanes render pixel 0's
-            # stream but are excluded from the image and the reject count
+            # stay padded (sharding-aligned); pad lanes are ZERO-padded
+            # (pixfold 0 — no pixel's stream) and excluded from both the
+            # image slice and the [:n] reject count
             rad = jnp.stack(
                 [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1
             )

@@ -135,13 +135,17 @@ def make_fused_chunk_fn(fused_render):
     are dynamic so a single compile serves every chunk size. Drop-in
     signature-compatible with make_chunk_fn's runner.
 
-    Each DEVICE CALL is capped at 64 in-kernel samples: a single pallas
-    call running for minutes trips the TPU runtime's execution watchdog
-    and kills the worker (measured on the depth-100 heterogeneous
+    Each DEVICE CALL is capped in PIXEL-SAMPLES: a single pallas call
+    running for minutes trips the TPU runtime's execution watchdog and
+    kills the worker (measured on the 512x512 depth-100 heterogeneous
     megakernel: a ~67 s 512-spp call crashed the worker; ~41 s survived).
-    The host loop preserves exact accumulation — sums are associative and
-    RNG keys are pure functions of (pixel, sample)."""
-    MAX_SPP_PER_CALL = 64
+    The budget is 64 spp at that calibration point (~8 s there), scaled
+    down for larger wavefronts so per-call wall-clock stays bounded at
+    any resolution. The host loop preserves exact accumulation — sums are
+    associative and RNG keys are pure functions of (pixel, sample)."""
+    budget = 64 * 512 * 512                    # pixel-samples per call
+    n_lanes = int(getattr(fused_render, "n_pad", 512 * 512))
+    max_spp_per_call = max(1, min(64, budget // max(n_lanes, 1)))
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(acc, nrej, s0, n):
@@ -152,7 +156,7 @@ def make_fused_chunk_fn(fused_render):
         s = 0
         n = int(n)
         while s < n:
-            k = min(MAX_SPP_PER_CALL, n - s)
+            k = min(max_spp_per_call, n - s)
             acc, nrej = step(acc, nrej, jnp.int32(s0 + s), jnp.int32(k))
             s += k
         return acc, nrej, stats_acc
@@ -331,9 +335,29 @@ class WavefrontRenderer:
     ):
         spp_chunk = spp_chunk or spp
         acc_state = accumulator or Accumulator(self.width, self.height)
-        acc_state.pixel_perm = (
-            self._ids_np if self.pixel_order == "morton" else None
-        )
+        new_perm = self._ids_np if self.pixel_order == "morton" else None
+        old_perm = acc_state.pixel_perm
+
+        def _same(a, b):
+            if (a is None) != (b is None):
+                return False
+            return a is None or np.array_equal(np.asarray(a), np.asarray(b))
+
+        if acc_state.spp_done and not _same(old_perm, new_perm):
+            # resumed checkpoint written under a DIFFERENT lane traversal
+            # (e.g. raster-era checkpoint resumed by an auto-morton
+            # renderer): remap the stored sums into this renderer's lane
+            # order so accumulation stays per-pixel consistent
+            a = np.asarray(acc_state.acc)
+            by_pixel = np.empty_like(a)
+            if old_perm is not None:
+                by_pixel[np.asarray(old_perm)] = a
+            else:
+                by_pixel = a
+            acc_state.acc = jnp.asarray(
+                by_pixel[new_perm] if new_perm is not None else by_pixel
+            )
+        acc_state.pixel_perm = new_perm
         acc = acc_state.acc
         if self._pad:
             acc = jnp.pad(acc, ((0, self._pad), (0, 0)))

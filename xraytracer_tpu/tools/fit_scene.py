@@ -66,9 +66,11 @@ def fit(
         return out / count
 
     # target rendered once, well averaged, from the TRUE scene at a sample
-    # block disjoint from every optimization step's stream
+    # block strictly above every optimization step's stream (steps use
+    # indices < steps*spp) — sharing a stream would let the optimizer fit
+    # the target's residual noise
     img_t = jax.jit(render_avg, static_argnums=2)(
-        {k: jnp.asarray(v) for k, v in true_params.items()}, 65536,
+        {k: jnp.asarray(v) for k, v in true_params.items()}, steps * spp,
         target_spp,
     )
 
