@@ -169,8 +169,42 @@ def _bench_het_nee():
     return renderer.render(8).seconds / 8 * 1e3
 
 
+def _arm_watchdog():
+    """The axon TPU tunnel can wedge so hard that even ``jax.devices()``
+    blocks forever (observed 2026-08-18). A silent hang would leave the
+    driver with NO bench line at all; instead, print an honest error JSON
+    and hard-exit if the bench hasn't finished in XRT_BENCH_TIMEOUT
+    seconds (default 2700 — a cold compile run needs ~15 min)."""
+    import threading
+
+    timeout = float(os.environ.get("XRT_BENCH_TIMEOUT", "2700"))
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "gi_cornell_primary_rays_per_s",
+                    "value": 0.0,
+                    "unit": "rays/s",
+                    "vs_baseline": 0.0,
+                    "error": f"bench watchdog: no result within {timeout:.0f}s"
+                             " (TPU tunnel unresponsive?)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(timeout, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
+
+    watchdog = _arm_watchdog()
 
     # persistent compilation cache: the GI pipeline's Pallas programs take
     # minutes to compile; cached artifacts make repeat bench runs start fast
@@ -197,6 +231,7 @@ def main():
             except Exception as e:  # pragma: no cover
                 extra[name] = f"error: {type(e).__name__}: {e}"[:200]
 
+    watchdog.cancel()
     print(
         json.dumps(
             {
