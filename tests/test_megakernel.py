@@ -303,6 +303,38 @@ def test_fused_volume_spp_render_matches_renderer():
     assert int(rej) == ref.n_rejected
 
 
+def test_fused_volume_spp_render_sharded_bitwise():
+    """The sharded volume megakernel (empty table tuple through the shared
+    make_spp_render plumbing) matches the single-device kernel bitwise."""
+    import jax
+    from jax.sharding import Mesh
+
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators.vol_megakernel import (
+        try_make_fused_volume_spp_render,
+    )
+    from xraytracer_tpu.scene.builder import scene_statics
+    from xraytracer_tpu.scene.presets import preset_vpt
+
+    tables, cam_kwargs, _cfg = preset_vpt()
+    statics = scene_statics(tables)
+    w, h = 32, 32
+    camera = PinholeCamera.make(w / h, **cam_kwargs)
+    kw = dict(max_depth=2, nee=True, interpret=True, force=True)
+    single = try_make_fused_volume_spp_render(
+        tables, statics, camera, w, h, seed=2, **kw
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("d",))
+    shard = try_make_fused_volume_spp_render(
+        tables, statics, camera, w, h, seed=2, mesh=mesh, **kw
+    )
+    rad1, rej1 = single(0, 1)
+    rad2, rej2 = shard(0, 1)
+    n = w * h
+    np.testing.assert_array_equal(np.asarray(rad2)[:n], np.asarray(rad1))
+    assert int(rej1) == int(rej2)
+
+
 def test_occluded_bool_kernel_matches_xla():
     """geometry.pallas_kernels.occluded_triangles_pallas (the in-kernel
     t_max compare) agrees with the XLA anyhit + epilogue compare."""
