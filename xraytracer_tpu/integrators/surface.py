@@ -14,6 +14,7 @@ bounce, site 0 is RR, 1 is the BSDF 2-uniform, 2 the BSDF lobe choice, and
 """
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..constants import INF, SHADOW_BIAS
@@ -330,7 +331,10 @@ def make_path_integrator(
     return integrate
 
 
-_SKY = jnp.array([0.235294, 0.67451, 0.843137])
+# numpy, NOT jnp: a module-scope jnp constant would initialize the JAX
+# backend at package import (importing the package then hangs if the TPU
+# tunnel is unresponsive, and CPU-only tools can no longer opt out)
+_SKY = np.array([0.235294, 0.67451, 0.843137], np.float32)
 
 
 def make_whitted_integrator(scene, statics, max_depth=3, tri_fn=None):
