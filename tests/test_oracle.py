@@ -419,3 +419,152 @@ def test_vpt_matches_oracle():
                 expect[py, px] += oracle.vpt(px, py, s)
     expect /= SPP
     np.testing.assert_allclose(r.image, expect, rtol=1e-3, atol=2e-4)
+
+
+# --- Whitted oracle (mirror + glass + delta lights) -------------------------
+
+class WhittedOracle(Oracle):
+    """Scalar Whitted tracer (reference: Src/integrator.h:294-398) at the
+    framework's draws: the only consumed random number per bounce is the
+    glass lobe pick at site base+2 (counter-based RNG — unused draws don't
+    shift the stream). Mirrors the kept reference quirks: shadow bias 0.1
+    with range t_max (not t_max - bias), NEE cos against the shading
+    normal, sky on miss AND on depth overflow, re-origin at 0.001*ng
+    flipped for transmission."""
+
+    SKY = np.array([0.235294, 0.67451, 0.843137])
+
+    def __init__(self, tables, cam_kwargs, width, height, seed=0):
+        super().__init__(tables, cam_kwargs, width, height, seed)
+        t = tables
+        self.mat_type = np.asarray(t.mat_type)
+        self.mat_ior = np.asarray(t.mat_ior, np.float64)
+        self.dl_type = np.asarray(t.dl_type)
+        self.dl_pos = np.asarray(t.dl_pos, np.float64)
+        self.dl_dir = np.asarray(t.dl_dir, np.float64)
+        self.dl_le = (np.asarray(t.dl_color, np.float64)
+                      * np.asarray(t.dl_intensity, np.float64)[:, None])
+        self.n_delta = int((self.dl_type >= 0).sum())
+
+    def whitted(self, px, py, sample, max_depth=3):
+        key = path_key(self.seed, py * self.width + px, sample)
+        o, d = self.camera_ray(px, py, key)
+        radiance = np.zeros(3)
+        throughput = np.ones(3)
+        for depth in range(max_depth + 1):
+            base = depth * SITES_PER_BOUNCE
+            t, i = self.intersect(o, d)
+            if i < 0:
+                return radiance + throughput * self.SKY
+            oi = self.obj[i]
+            mrow = self.obj_mat[oi]
+            mtype = self.mat_type[mrow] if mrow >= 0 else -1
+            ng = np.cross(self.e1[i], self.e2[i])
+            ng /= np.linalg.norm(ng)
+            ns = ng  # flat shading normals
+            pos = o + t * d
+            if mtype == 0:  # Lambert: delta-light NEE, terminate
+                albedo = self.mat_albedo[mrow]
+                if (-d) @ ns > 0:  # eval_bsdf needs wo above the surface
+                    for li in range(self.n_delta):
+                        if self.dl_type[li] == 0:  # point
+                            dv = self.dl_pos[li] - pos
+                            dist = np.linalg.norm(dv)
+                            wi, t_max, pdf = dv / dist, dist, dist * dist
+                        else:  # distant
+                            wi = -self.dl_dir[li]
+                            t_max, pdf = np.inf, 1.0
+                        if wi @ ns <= 0:
+                            continue  # eval_bsdf: wi below surface -> 0
+                        so = pos + 0.1 * ng
+                        if not self.occluded(so, wi, t_max):
+                            cos = max(0.0, ns @ wi)
+                            radiance += (throughput * (albedo / np.pi)
+                                         * self.dl_le[li] * cos / pdf)
+                return radiance
+            if mtype < 1:
+                return radiance  # no material: terminate, no sky
+            albedo = self.mat_albedo[mrow]
+            flip = False
+            if mtype == 1:  # mirror
+                d_new = d - 2.0 * (d @ ns) * ns
+            else:  # glass (Fresnel one-sample pick at site base+2)
+                ul = u1(key, base + 2)
+                ior = float(self.mat_ior[mrow])
+                cosi = np.clip(d @ ns, -1.0, 1.0)
+                exiting = cosi > 0.0
+                etai, etat = (ior, 1.0) if exiting else (1.0, ior)
+                sint = etai / etat * np.sqrt(max(0.0, 1.0 - cosi * cosi))
+                cost = np.sqrt(max(0.0, 1.0 - sint * sint))
+                cosa = abs(cosi)
+                if sint >= 1.0:
+                    kr = 1.0
+                else:
+                    rs = (etat * cosa - etai * cost) / (etat * cosa + etai * cost)
+                    rp = (etai * cosa - etat * cost) / (etai * cosa + etat * cost)
+                    kr = 0.5 * (rs * rs + rp * rp)
+                eta = etai / etat
+                k = 1.0 - eta * eta * (1.0 - cosa * cosa)
+                if ul < kr or k <= 0.0:
+                    d_new = d - 2.0 * (d @ ns) * ns
+                else:
+                    nn = (1.0 if cosi < 0.0 else -1.0) * ns
+                    d_new = eta * d + (eta * cosa - np.sqrt(k)) * nn
+                    flip = True
+            throughput = throughput * albedo
+            sign = -np.sign(d @ ng)
+            if flip:
+                sign = -sign
+            o = pos + sign * 0.001 * ng
+            d = d_new
+        return radiance + throughput * self.SKY  # depth overflow -> sky
+
+
+def _whitted_scene():
+    """Triangle-only mirror + glass + Lambert scene with both delta lights."""
+    b = SceneBuilder()
+    lam = b.add_lambert((0.7, 0.6, 0.5))
+    mir = b.add_mirror((0.8, 0.8, 0.8))
+    gls = b.add_glass(1.3, (0.9, 0.9, 0.9))
+
+    def quad(p00, p10, p01):
+        p00, p10, p01 = map(np.asarray, (p00, p10, p01))
+        p11 = p10 + (p01 - p00)
+        return np.asarray([[p00, p10, p11], [p00, p11, p01]], np.float32)
+
+    b.add_mesh(quad((-4, 0, 2), (4, 0, 2), (-4, 0, -6)), material=lam)  # floor
+    b.add_mesh(quad((-3, 0, -4), (3, 0, -4), (-3, 4, -4)), material=mir)  # back mirror
+    b.add_mesh(quad((-1.2, 0.2, -1), (1.2, 0.2, -1), (-1.2, 2.6, -1)),
+               material=gls)                                        # glass pane
+    b.add_point_light((0.0, 3.5, 1.0), color=(1.0, 0.9, 0.8), intensity=40.0)
+    b.add_distant_light((0.2, -1.0, -0.4), color=(0.9, 1.0, 1.0),
+                        intensity=0.6)
+    from xraytracer_tpu.math import from_rows
+
+    c2w = from_rows(1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 1.2, 3.0, 1)
+    return b.build(), dict(c2w=c2w, fov_deg=55.0)
+
+
+def test_whitted_matches_oracle():
+    """Whitted (mirror + glass + delta-light NEE + sky) against the
+    independent scalar oracle at matched seeds — extends the oracle gate to
+    the last un-oracled surface integrator (round-1 VERDICT weak item 6)."""
+    from xraytracer_tpu.integrators import make_whitted_integrator
+
+    tables, camk = _whitted_scene()
+    statics = scene_statics(tables)
+    cam = PinholeCamera.make(W / H, **camk)
+    r = render(
+        tables, cam, make_whitted_integrator(tables, statics, max_depth=3),
+        W, H, SPP, seed=0,
+    )
+    oracle = WhittedOracle(tables, camk, W, H, seed=0)
+    expect = np.zeros((H, W, 3))
+    for py in range(H):
+        for px in range(W):
+            for s in range(SPP):
+                expect[py, px] += oracle.whitted(px, py, s)
+    expect /= SPP
+    np.testing.assert_allclose(r.image, expect, rtol=1e-3, atol=2e-4)
+    # the scene must actually exercise all three materials
+    assert expect.mean() > 0.01
