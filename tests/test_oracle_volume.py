@@ -346,3 +346,165 @@ def test_het_vpt_matches_oracle():
     expect /= SPP
     np.testing.assert_allclose(r.image, expect, rtol=2e-3, atol=3e-4)
     assert expect.mean() > 1e-3  # medium actually lit
+
+
+# --- NEE variant: cone light sampling + ratio-tracked transmittance ---------
+
+class HetVolumeNEEOracle(HetVolumeOracle):
+    """VolumePathTracingNEE (reference: Src/integrator.h:481-636) on top of
+    the tracking oracle: at every scatter vertex, uniform light pick
+    (site P), PBRT cone sample of the sphere light (site P+1), isVisible =
+    one intersect + ratio-tracked transmittance over the medium span
+    (sites P+16+step), phase-function weighting; emitter hits add Le at
+    depth 0 only. P = max(8192, 16 + max_steps*4) (volume._nee_site_layout).
+    """
+
+    def _transmittance(self, p1, p2, key, site, max_steps):
+        """media_pallas.track_transmittance / media.segment_transmittance
+        het branch, scalar float32."""
+        dv = p2 - p1
+        dist = F(np.linalg.norm(dv))
+        if dist == 0:
+            return np.ones(3, np.float32)
+        d = dv / dist
+        seg_t, seg_m, edges, _ = self._dda(p1, d, F(0.0), dist)
+        tau_total = F(edges[-1])
+        tr = np.ones(3, np.float32)
+        tau = F(0.0)
+        for step in range(max_steps):
+            u = F(u1(key, site + step))
+            tau_new = F(tau - np.log(max(F(1.0) - u, F(1e-38))))
+            if tau_new > tau_total:
+                return tr
+            t_new, m_loc = self._tau_to_t(seg_t, seg_m, edges, tau_new)
+            dens = self._density(p1 + t_new * d) * self.dm
+            m_safe = m_loc if m_loc > 0 else F(1.0)
+            sig_n = np.maximum(m_loc - (self.sa + self.ss) * dens, F(0.0))
+            tr = tr * sig_n / m_safe
+            tau = tau_new
+        return np.zeros(3, np.float32)  # exhausted -> never biased bright
+
+    def _cone_sample(self, mp, li, lu, lv):
+        """lights.sample_area_light sphere default (PBRT cone; reference:
+        Src/light.h:160-198). Returns (wi, pdf, le_front)."""
+        c = _f32(np.asarray(self.al_v0))  # unused; sphere tables below
+        center = self._al_center[li]
+        r = self._al_radius[li]
+        dz = center - mp
+        len2 = F(dz @ dz)
+        ln = F(np.sqrt(len2))
+        u = -dz / (ln if ln != 0 else F(1.0))
+        t, b = self._duff(u)
+        sin_tm2 = r * r / (len2 if len2 != 0 else F(1.0))
+        sin_tm = F(np.sqrt(sin_tm2))
+        cos_tm = F(np.sqrt(max(F(0.0), F(1.0) - sin_tm2)))
+        cos_t = F(1.0) + (cos_tm - F(1.0)) * F(lu)
+        sin_t2 = F(1.0) - cos_t * cos_t
+        s_tm = sin_tm if sin_tm != 0 else F(1.0)
+        s_tm2 = sin_tm2 if sin_tm2 != 0 else F(1.0)
+        cos_a = sin_t2 / s_tm + cos_t * F(
+            np.sqrt(max(F(0.0), F(1.0) - sin_t2 / s_tm2))
+        )
+        sin_a = F(np.sqrt(max(F(0.0), F(1.0) - cos_a * cos_a)))
+        phi = F(2.0 * np.pi) * F(lv)
+        ns = (F(np.cos(phi)) * sin_a * t + F(np.sin(phi)) * sin_a * b
+              + cos_a * u)
+        p = center + ns * r
+        dvec = p - mp
+        t_max = F(np.linalg.norm(dvec))
+        front = F(dvec @ ns) < 0
+        pdf = F(1.0) / (F(2.0 * np.pi) * max(F(1.0) - cos_tm, F(1e-12)))
+        wi = dvec / (t_max if t_max != 0 else F(1.0))
+        return wi, pdf, front
+
+    def vpt_nee(self, px, py, sample, max_depth, max_steps):
+        pick_site = max(8192, _SITE_MEDIUM + max_steps * _SITES_PER_STEP)
+        light_site, tr_site = pick_site + 1, pick_site + 16
+        self._al_center = _f32(np.asarray(self._tables.al_center))
+        self._al_radius = _f32(np.asarray(self._tables.al_radius))
+        n_lights = self.n_lights
+        key = path_key(self.seed, py * self.width + px, sample)
+        o, d = self.camera_ray(px, py, key)
+        o, d = _f32(o), _f32(d)
+        d = d / F(np.linalg.norm(d))
+        radiance = np.zeros(3, np.float32)
+        thr = np.ones(3, np.float32)
+        depth = 0
+        for it in range(2 * max_depth + 2):
+            site = it * SITES_PER_BOUNCE
+            if depth >= max_depth:
+                break
+            t, t1, lrow, ns = self._intersect(o, d)
+            if lrow == -2:
+                break
+            u_rr = F(u1(key, site + 0))
+            if depth > 0:
+                rr = min(F(thr.mean()), F(1.0))
+                if u_rr >= rr:
+                    break
+                thr = thr / max(rr, F(1e-12))
+            if lrow >= 0:
+                if depth == 0 and F(-(d @ ns)) > 0:  # Le at depth 0 only
+                    radiance = radiance + thr * _f32(self.al_le[lrow])
+                break
+            pos, scattered, w, scat_step = self._track(
+                o, d, t, t1, thr, key, site + _SITE_MEDIUM, max_steps
+            )
+            if scattered:
+                # NEE at the scatter vertex
+                u_pick = u1(key, site + pick_site)
+                li = min(int(u_pick * n_lights), n_lights - 1)
+                lu, lv = u2(key, site + light_site)
+                wi, cone_pdf, front = self._cone_sample(pos, li, lu, lv)
+                pdf = F(cone_pdf / n_lights) * F(1.0)
+                pdf = cone_pdf * F(1.0 / n_lights)
+                if pdf > 0:
+                    st, st1, slrow, _ = self._intersect(pos, wi)
+                    if slrow == -1:  # medium box: ratio-tracked span
+                        p1 = pos + st * wi
+                        p2 = pos + (st1 if np.isfinite(st1) else st) * wi
+                        tr = self._transmittance(
+                            p1, p2, key, site + tr_site, max_steps
+                        )
+                    else:
+                        tr = np.ones(3, np.float32)
+                    le = (_f32(self.al_le[li]) if front
+                          else np.zeros(3, np.float32))
+                    f = F(1.0 / (4.0 * np.pi))  # g = 0: isotropic phase
+                    radiance = radiance + thr * w * tr * f * le / pdf
+                d = self._phase_dir(d, key, site + _SITE_MEDIUM, scat_step)
+                d = _f32(d)
+            o = _f32(pos)
+            thr = thr * w
+            depth += int(scattered)
+            if not (thr > 0).any():
+                break
+        return radiance
+
+
+def test_het_vpt_nee_matches_oracle():
+    """VolumePathTracingNEE (cone light sampling, isVisible transmittance,
+    phase weighting) against the independent scalar oracle — the reference
+    nee workload's estimator, fully oracled."""
+    tables, camk = _scene()
+    statics = scene_statics(tables)
+    cam = PinholeCamera.make(W / H, **camk)
+    max_depth, max_steps = 3, 64
+    integ = make_volume_integrator(
+        tables, statics, max_depth=max_depth, nee=True,
+        max_steps=max_steps, fused="never",
+    )
+    r = render(tables, cam, integ, W, H, SPP, seed=0)
+    oracle = HetVolumeNEEOracle(tables, camk, W, H, seed=0)
+    oracle._tables = tables
+    expect = np.zeros((H, W, 3))
+    for py in range(H):
+        for px in range(W):
+            for s in range(SPP):
+                expect[py, px] += oracle.vpt_nee(
+                    px, py, s, max_depth, max_steps
+                )
+    expect /= SPP
+    np.testing.assert_allclose(r.image, expect, rtol=2e-3, atol=3e-4)
+    # NEE lights up most medium pixels, not just lucky chains
+    assert (expect.sum(-1) > 0).mean() > 0.3
