@@ -225,7 +225,7 @@ class GIOracle(Oracle):
     2-uniform site 1, lobe site 2, light i at site 16+i; cosine-weighted
     Lambert sampling; NEE with Le only at depth 0."""
 
-    def gi(self, px, py, sample, max_depth=2):
+    def gi(self, px, py, sample, max_depth=2, nee=True):
         key = path_key(self.seed, py * self.width + px, sample)
         o, d = self.camera_ray(px, py, key)
         radiance = np.zeros(3)
@@ -248,12 +248,14 @@ class GIOracle(Oracle):
             ng /= np.linalg.norm(ng)
             pos = o + t * d
             if lrow >= 0:
-                if depth == 0 and (-d) @ ng > 0:  # one-sided, depth-0 only
+                # one-sided Le: depth 0 only under NEE, every depth without
+                # (Src/integrator.h:158-166 vs 236-244)
+                if (nee is False or depth == 0) and (-d) @ ng > 0:
                     radiance += throughput * self.al_le[lrow]
                 break
             albedo = self.mat_albedo[self.obj_mat[oi]]
             # NEE over all lights (site 16+i)
-            for li in range(self.n_lights):
+            for li in range(self.n_lights if nee else 0):
                 ux, uy = u2(key, base + 16 + li)
                 p = self.al_v0[li] + ux * self.al_e1[li] + uy * self.al_e2[li]
                 dvec = p - pos
@@ -309,6 +311,33 @@ def test_gi_depth2_matches_oracle():
                 expect[py, px] += oracle.gi(px, py, s)
     expect /= SPP
     np.testing.assert_allclose(r.image, expect, rtol=1e-3, atol=2e-4)
+
+
+def test_indirect_depth3_matches_oracle():
+    """IndirectIntegrator (BSDF-only, Le at every depth) against the scalar
+    oracle at depth 3 — the last surface integrator whose only prior gate
+    was depth-shifted consistency against GI."""
+    from xraytracer_tpu.integrators import make_path_integrator
+
+    tables = build_cornell_box().build()
+    statics = scene_statics(tables)
+    camk = cornell_camera()
+    cam = PinholeCamera.make(W / H, **camk)
+    r = render(
+        tables, cam,
+        make_path_integrator(tables, statics, 3, nee=False,
+                             cosine_sampling=True),
+        W, H, SPP, seed=0,
+    )
+    oracle = GIOracle(tables, camk, W, H, seed=0)
+    expect = np.zeros((H, W, 3))
+    for py in range(H):
+        for px in range(W):
+            for s in range(SPP):
+                expect[py, px] += oracle.gi(px, py, s, max_depth=3, nee=False)
+    expect /= SPP
+    np.testing.assert_allclose(r.image, expect, rtol=1e-3, atol=2e-4)
+    assert expect.mean() > 1e-3
 
 
 # --- homogeneous VPT oracle -------------------------------------------------
