@@ -23,23 +23,29 @@ import numpy as np
 
 
 def convert_vdb(path, grid_name="density"):
-    try:
-        import pyopenvdb  # noqa: F401
-    except ImportError as e:
-        raise SystemExit(
-            "pyopenvdb is not installed in this environment; convert the "
-            ".vdb offline (any machine with OpenVDB) to .npy and pass that "
-            f"instead. ({e})"
-        )
-    import pyopenvdb as vdb
+    """Rasterize a ``.vdb`` FloatGrid to a dense array via the built-in
+    pure-Python OpenVDB codec (tools/vdb.py — no pyopenvdb needed); falls
+    back to pyopenvdb for exotic files the codec rejects."""
+    from . import vdb as xvdb
 
-    grid = vdb.read(path, grid_name)
-    bbox = grid.evalActiveVoxelBoundingBox()
-    lo, hi = np.asarray(bbox[0]), np.asarray(bbox[1])
-    shape = tuple((hi - lo + 1).tolist())
-    dense = np.zeros(shape, np.float32)
-    grid.copyToArray(dense, ijk=tuple(lo.tolist()))
-    return dense
+    try:
+        return xvdb.read_vdb(path, grid_name).dense
+    except xvdb.VdbError as native_err:
+        try:
+            import pyopenvdb as vdb
+        except ImportError:
+            raise SystemExit(
+                f"built-in .vdb reader: {native_err}; and pyopenvdb is not "
+                "installed to fall back on — re-save the grid with a modern "
+                "OpenVDB or convert offline to .npy."
+            )
+        grid = vdb.read(path, grid_name)
+        bbox = grid.evalActiveVoxelBoundingBox()
+        lo, hi = np.asarray(bbox[0]), np.asarray(bbox[1])
+        shape = tuple((hi - lo + 1).tolist())
+        dense = np.zeros(shape, np.float32)
+        grid.copyToArray(dense, ijk=tuple(lo.tolist()))
+        return dense
 
 
 def main(argv=None):
