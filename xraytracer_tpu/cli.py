@@ -44,7 +44,11 @@ def build_scene(cfg, density_grid=None):
         # examples/volume.cpp; here: tools/grid_convert.py -> .npy)
         import numpy as np
 
-        density = np.load(density_grid).astype("float32")
+        loaded = np.load(density_grid)
+        if isinstance(loaded, np.lib.npyio.NpzFile):
+            key = "density" if "density" in loaded else loaded.files[0]
+            loaded = loaded[key]
+        density = loaded.astype("float32")
         from .scene.presets import build_volume_scene
 
         kwargs = (

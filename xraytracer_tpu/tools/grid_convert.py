@@ -30,7 +30,11 @@ def convert_vdb(path, grid_name="density"):
 
     try:
         return xvdb.read_vdb(path, grid_name).dense
-    except xvdb.VdbError as native_err:
+    except Exception as native_err:
+        # Malformed/exotic files can surface as zlib.error, struct.error,
+        # ValueError, ... — not only VdbError; any parse failure should fall
+        # back (or produce the actionable SystemExit below), never a raw
+        # traceback from codec internals.
         try:
             import pyopenvdb as vdb
         except ImportError:

@@ -23,10 +23,13 @@ Archive.cc ``writeHeader``/``readHeader``, io/File.cc, io/GridDescriptor.cc,
 io/Compression.h ``readCompressedValues``, tree/RootNode.h / InternalNode.h /
 LeafNode.h ``writeTopology``/``writeBuffers``, math/Maps.h) — no OpenVDB code
 is vendored or copied; this is an independent implementation of the public
-file format. Because no ``.vdb`` sample ships in this environment, the codec
-is validated by write/read roundtrips across every compression mode plus
-structural invariants (see tests/test_vdb.py); field reports against real
-assets are expected to exercise ``read_vdb`` only.
+file format. Because no real ``.vdb`` sample ships in this environment, the
+codec is validated two ways (tests/test_vdb.py): write/read roundtrips across
+every compression mode, and — decoupling the reader from the writer — a
+hand-assembled golden byte fixture built field-by-field from the documented
+archive layout (per-grid compression word at gridPos for versions >= 222,
+leaf value masks re-serialized in the buffer pass, header compression char
+only for versions 220-221, hyphenated 36-char uuid).
 
 The writer exists both for those tests and as a real feature: it exports any
 dense grid to a ``.vdb`` the reference itself can load — the reverse of the
@@ -43,9 +46,10 @@ import numpy as np
 
 # --- format constants (openvdb/io/io.h, openvdb/version.h) -----------------
 OPENVDB_MAGIC = 0x56444220  # int64 " BDV"
-FILE_VERSION_SELECTIVE_COMPRESSION = 220
-FILE_VERSION_NODE_MASK_COMPRESSION = 223
-FILE_VERSION_BLOSC_COMPRESSION = 224
+FILE_VERSION_SELECTIVE_COMPRESSION = 220   # header gains is-compressed char
+FILE_VERSION_NODE_MASK_COMPRESSION = 222   # per-grid compression, mask codes
+FILE_VERSION_BLOSC_COMPRESSION = 223       # blosc allowed in compression word
+FILE_VERSION_MULTIPASS_IO = 224            # current writers emit this
 WRITE_FILE_VERSION = 224
 WRITE_LIB_VERSION = (8, 1)
 
@@ -53,6 +57,21 @@ COMPRESS_NONE = 0
 COMPRESS_ZIP = 0x1
 COMPRESS_ACTIVE_MASK = 0x2
 COMPRESS_BLOSC = 0x4
+
+
+def _compression_to_string(flags):
+    """io::compressionToString — the descriptive form real archives store in
+    the grid's ``file_compression`` metadata (informational only)."""
+    if flags == COMPRESS_NONE:
+        return "none"
+    words = []
+    if flags & COMPRESS_ZIP:
+        words.append("zip")
+    if flags & COMPRESS_BLOSC:
+        words.append("blosc")
+    if flags & COMPRESS_ACTIVE_MASK:
+        words.append("active values")
+    return " + ".join(words)
 
 # readCompressedValues metadata codes (openvdb/io/Compression.h)
 NO_MASK_OR_INACTIVE_VALS = 0
@@ -476,6 +495,17 @@ def _read_internal_buffers(r, node, background, compression, version, half):
             _read_internal_buffers(r, child, background, compression,
                                    version, half)
         else:
+            # LeafNode::readBuffers: each leaf buffer record re-serializes
+            # the 64-byte value mask (authoritative for the value pass);
+            # pre-222 records additionally carry origin + buffer count.
+            child.mask = _load_mask(r, LEAF_SIZE)
+            if version < FILE_VERSION_NODE_MASK_COMPRESSION:
+                r.coord()  # leaf origin (redundant with the topology pass)
+                n_buffers = struct.unpack("<b", r.take(1))[0]
+                if n_buffers != 1:
+                    raise VdbError(
+                        f"leaf with {n_buffers} buffers (multi-buffer trees "
+                        "predate file version 222 and are unsupported)")
             child.values = _read_compressed_values(
                 r, LEAF_SIZE, child.mask, background, compression, version,
                 half)
@@ -500,6 +530,9 @@ def _write_internal_buffers(w, node, compression, background, half):
         if isinstance(child, _Internal):
             _write_internal_buffers(w, child, compression, background, half)
         else:
+            # LeafNode::writeBuffers re-serializes the value mask before the
+            # compressed values (in addition to the topology-pass copy).
+            _save_mask(w, child.mask)
             _write_compressed_values(w, child.values, child.mask, background,
                                      compression, half)
 
@@ -573,7 +606,15 @@ def read_vdb(path, grid_name=None, dense_dtype=np.float32):
                        "re-save with any modern OpenVDB")
     lib_major, lib_minor = r.u32(), r.u32()
     has_offsets = r.take(1)[0]
-    compression = r.u32()
+    # Archive::readHeader: a one-byte is-compressed flag exists only for
+    # versions [220, 222); from 222 on compression is stored per grid and
+    # the header carries no compression field at all.
+    if version < FILE_VERSION_NODE_MASK_COMPRESSION:
+        compression = (COMPRESS_ZIP if r.take(1)[0]
+                       else COMPRESS_NONE)
+    else:
+        # default until the per-grid word (readGridCompression) overrides
+        compression = COMPRESS_ZIP | COMPRESS_ACTIVE_MASK
     r.take(36)  # uuid: 36 ASCII chars since file version 218
     file_meta = _read_metamap(r)
     del lib_major, lib_minor, file_meta
@@ -610,9 +651,12 @@ def read_vdb(path, grid_name=None, dense_dtype=np.float32):
                        f"(only {GRID_TYPE_FLOAT})")
 
     r.off = grid_pos
+    # io::readGridCompression: from version 222 on, a raw uint32 compression
+    # word precedes the grid metadata; it is authoritative (the
+    # "file_compression" metadata entry is only a descriptive string).
+    if version >= FILE_VERSION_NODE_MASK_COMPRESSION:
+        compression = r.u32()
     gmeta = _read_metamap(r)
-    if "file_compression" in gmeta:
-        compression = int(gmeta["file_compression"])
     scale, trans, _ = _read_transform(r)
 
     # Tree topology: TreeBase buffer count (legacy, ==1), then the root.
@@ -770,11 +814,13 @@ def write_vdb(path, dense, name="density", voxel_size=1.0,
     roots = _build_tree(dense, origin_ijk, background)
 
     gtype = GRID_TYPE_FLOAT + (HALF_SUFFIX if half else "")
-    # grid block: metadata, transform, topology; then buffers
+    # grid block: per-grid compression word (writeGridCompression, >=222),
+    # then metadata, transform, topology; buffers follow at blockPos.
     gw = _W()
+    gw.u32(comp_flags)
     _write_metamap(gw, {
         "class": grid_class, "name": name,
-        "file_compression": int(comp_flags),
+        "file_compression": _compression_to_string(comp_flags),
     })
     _write_transform(gw, scale, np.asarray(translation, np.float64))
     gw.u32(1)  # TreeBase buffer count
@@ -796,8 +842,8 @@ def write_vdb(path, dense, name="density", voxel_size=1.0,
     hw.u32(WRITE_LIB_VERSION[0])
     hw.u32(WRITE_LIB_VERSION[1])
     hw.raw(b"\x01")  # has grid offsets (seekable archive)
-    hw.u32(comp_flags)
-    hw.raw(b"0" * 36)  # uuid: fixed 36 ASCII chars
+    # no header compression field at version >= 222 (stored per grid)
+    hw.raw(b"00000000-0000-0000-0000-000000000000")  # hyphenated 36-char uuid
     _write_metamap(hw, {})  # file-level metadata
     hw.i32(1)  # grid count
     header = hw.getvalue()
