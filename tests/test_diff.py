@@ -107,3 +107,46 @@ def test_inverse_rendering_recovers_albedo_and_le():
     # residual-noise floor — require a decrease, not a fixed factor)
     k = max(len(hist) // 5, 1)
     assert np.mean(hist[-k:]) < np.mean(hist[:k])
+
+
+def test_stopgrad_pallas_sweep_grads_match_mm():
+    """The fused-sweep custom_vjp (zero cotangents for rays/geometry) gives
+    IDENTICAL albedo+Le gradients to the mm sweep: with detached sampling
+    no gradient flows through intersection outputs, only through the
+    out-of-kernel tri_rec gather. Interpret mode stands in for the TPU
+    kernel; the Cornell table is 64 rows (one chunk), so winner indices
+    match the XLA argmin path exactly."""
+    from functools import partial
+
+    from xraytracer_tpu.geometry.pallas_kernels import (
+        intersect_triangles_pallas_stopgrad,
+    )
+
+    tables = build_cornell_box().build()
+    statics = scene_statics(tables)
+    cam = PinholeCamera.make(W / H, **cornell_camera())
+    pixel_ids, pixel_xy = pixel_grid(W, H)
+    target = jnp.zeros((W * H, 3))
+    grads = []
+    for tri_fn in (
+        None,  # default on CPU: intersect_triangles_mm
+        partial(intersect_triangles_pallas_stopgrad, interpret=True),
+    ):
+        radiance = make_radiance_fn(
+            tables, statics, cam, W, H, max_depth=2, seed=0, tri_fn=tri_fn
+        )
+        loss = make_loss_fn(radiance)
+
+        def f(params):
+            return loss(params, pixel_ids, pixel_xy, target, 0)
+
+        g = jax.grad(f)({"mat_albedo": tables.mat_albedo,
+                         "al_le": tables.al_le})
+        grads.append(g)
+    np.testing.assert_allclose(
+        grads[0]["mat_albedo"], grads[1]["mat_albedo"], rtol=2e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        grads[0]["al_le"], grads[1]["al_le"], rtol=2e-5, atol=1e-7
+    )
+    assert float(jnp.abs(grads[1]["mat_albedo"]).sum()) > 0.0

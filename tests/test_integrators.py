@@ -356,3 +356,59 @@ def test_checkpoint_resume_across_pixel_orders(tmp_path):
     )
     full = renderer("raster").render(4)
     np.testing.assert_array_equal(resumed.image, full.image)
+
+
+def test_sorted_wavefront_bitwise_identical():
+    """Bounce-ray coherence sorting (geometry/raysort.py) is pure lane
+    scheduling: every per-lane draw travels with its RNG key and radiance
+    is scattered back to the original lane order, so images are BITWISE
+    equal with sorting forced on vs. off — unrolled and fori_loop depths,
+    with and without NEE."""
+    b, camk = _sphere_mesh_scene()
+    tables = b.build()
+    statics = scene_statics(tables)
+    cam = PinholeCamera.make(W / H, **camk)
+    for depth, nee in ((3, True), (9, False)):
+        imgs = []
+        for sort in (False, True):
+            integ = make_path_integrator(
+                tables, statics, max_depth=depth, nee=nee,
+                cosine_sampling=True, fused="never", sort_rays=sort,
+            )
+            imgs.append(render(tables, cam, integ, W, H, 2, seed=3).image)
+        np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def _sphere_mesh_scene():
+    from xraytracer_tpu.math import from_rows
+
+    b = SceneBuilder()
+    white = b.add_lambert((0.8, 0.8, 0.8))
+    b.add_sphere_mesh((0.0, 0.0, 0.0), 1.0, 17, 16, material=white)
+    floor = np.asarray(
+        [[[-4, -1, -4], [4, -1, -4], [4, -1, 4]],
+         [[-4, -1, -4], [4, -1, 4], [-4, -1, 4]]], np.float32,
+    )
+    b.add_mesh(floor, material=white)
+    b.add_quad_light((-1.0, 3.0, -1.0), (1.0, 3.0, -1.0), (-1.0, 3.0, 1.0),
+                     (10.0, 10.0, 10.0))
+    c2w = from_rows(1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 0.6, 4.0, 1)
+    return b, dict(c2w=c2w, fov_deg=45.0)
+
+
+def test_sorted_wavefront_stats_match():
+    """with_stats counters are permutation-invariant sums."""
+    b, camk = _sphere_mesh_scene()
+    tables = b.build()
+    statics = scene_statics(tables)
+    cam = PinholeCamera.make(W / H, **camk)
+    outs = []
+    for sort in (False, True):
+        integ = make_path_integrator(
+            tables, statics, max_depth=3, nee=True, with_stats=True,
+            fused="never", sort_rays=sort,
+        )
+        r = render(tables, cam, integ, W, H, 2, seed=3)
+        outs.append(r.stats)
+    for k in outs[0]:
+        np.testing.assert_array_equal(outs[0][k], outs[1][k])

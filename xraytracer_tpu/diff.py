@@ -15,6 +15,14 @@ differentiable; ``make_volume_integrator(differentiable=True)`` switches
 them to ``max_steps``-bounded ``fori_loop`` variants and pins the XLA
 triangle sweep, making sigma_a/sigma_s/Le/grid-density gradients available
 (tested in tests/test_diff_volume.py).
+
+Sweep choice: on TPU the surface pipeline runs the FUSED Pallas sweep even
+under ``jax.grad`` via a zero-cotangent ``custom_vjp``
+(``_diff_tri_fn`` -> ``intersect_triangles_pallas_stopgrad``) — exact for
+this parameter set because no gradient flows through intersection outputs,
+only through the out-of-kernel ``tri_rec`` appearance gather. Pass
+``geometry_grads=True`` to pin the XLA matmul sweep when differentiating
+w.r.t. vertex positions.
 """
 
 from functools import partial
@@ -27,27 +35,49 @@ from .renderer import CAMERA_SITE
 from .sampling import path_keys, uniform2
 
 
+def _diff_tri_fn(geometry_grads=False):
+    """Triangle sweep for ``jax.grad`` pipelines. Default: the fused Pallas
+    kernel wrapped in a zero-cotangent ``custom_vjp``
+    (``intersect_triangles_pallas_stopgrad``) on TPU — exact for the
+    albedo/Le/sigma/density parameter set, and the sweep is the forward
+    bottleneck of fwd+bwd. ``geometry_grads=True`` (or a non-TPU backend)
+    pins the XLA matmul sweep, whose outputs differentiate w.r.t. vertex
+    positions too."""
+    from .geometry.intersect import intersect_triangles_mm
+
+    if geometry_grads:
+        return intersect_triangles_mm
+    try:
+        is_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        is_tpu = False
+    if not is_tpu:
+        return intersect_triangles_mm
+    from .geometry.pallas_kernels import intersect_triangles_pallas_stopgrad
+
+    return intersect_triangles_pallas_stopgrad
+
+
 def make_radiance_fn(
     tables, statics, camera, width, height, max_depth=3, nee=True,
-    cosine_sampling=True, seed=0,
+    cosine_sampling=True, seed=0, geometry_grads=False, tri_fn=None,
 ):
     """Returns ``radiance(params, pixel_ids, pixel_xy, sample_idx) -> (N,3)``
     where ``params`` is a dict of SceneTables overrides (e.g.
     ``{"mat_albedo": ..., "al_le": ...}``) — the differentiable inputs."""
     wh = jnp.asarray([float(width), float(height)])
+    if tri_fn is None:
+        tri_fn = _diff_tri_fn(geometry_grads)
 
     def radiance(params, pixel_ids, pixel_xy, sample_idx):
-        from .geometry.intersect import intersect_triangles_mm
         from .scene.tables import rejoin_appearance
 
         # re-derive the denormalized per-triangle appearance columns from
         # the overridden relational params so gradients reach them
         scene = rejoin_appearance(tables._replace(**params))
-        # pin the XLA triangle sweep: the fused Pallas kernel is the faster
-        # forward path but does not support reverse-mode autodiff
         integrate = make_path_integrator(
             scene, statics, max_depth, nee=nee,
-            cosine_sampling=cosine_sampling, tri_fn=intersect_triangles_mm,
+            cosine_sampling=cosine_sampling, tri_fn=tri_fn,
         )
         keys = path_keys(seed, pixel_ids, sample_idx)
         u = uniform2(keys, CAMERA_SITE)

@@ -69,18 +69,36 @@ def _sweep_kernel_rec(
     )
 
 
-def _row_slab(ab_ref, c, o_row, inv_row):
-    """Per-lane slab test of one 512-lane row against chunk ``c``'s AABB
-    (row c of the (n_chunks, 8) lo3|hi3|pad table, scalars read from
-    VMEM). Returns (tmin, tmax), each (1, 512)."""
+def _slab_lohi(lo3, hi3, o_row, inv_row):
+    """Per-lane slab test of one 512-lane row against the box (lo3, hi3)
+    (3 scalars each). Returns (tmin, tmax), each (1, 512)."""
     tmin = jnp.full_like(o_row[0], -_BIG)
     tmax = jnp.full_like(o_row[0], _BIG)
     for k in range(3):
-        ta = (ab_ref[c, k] - o_row[k]) * inv_row[k]
-        tb = (ab_ref[c, k + 3] - o_row[k]) * inv_row[k]
+        ta = (lo3[k] - o_row[k]) * inv_row[k]
+        tb = (hi3[k] - o_row[k]) * inv_row[k]
         tmin = jnp.maximum(tmin, jnp.minimum(ta, tb))
         tmax = jnp.minimum(tmax, jnp.maximum(ta, tb))
     return tmin, tmax
+
+
+def _row_slab(ab_ref, c, o_row, inv_row):
+    """Slab test against chunk ``c``'s AABB (row c of the (n_chunks, 8)
+    lo3|hi3|pad table, scalars read from VMEM)."""
+    return _slab_lohi(
+        [ab_ref[c, k] for k in range(3)],
+        [ab_ref[c, k + 3] for k in range(3)],
+        o_row, inv_row,
+    )
+
+
+def _group_box(ab_ref):
+    """Union AABB of the in-VMEM chunk-AABB block: (lo3, hi3) scalars.
+    Empty (padded) chunks have lo > hi and drop out of the min/max; an
+    all-empty group yields an empty union every slab test rejects."""
+    lo3 = [jnp.min(ab_ref[:, k]) for k in range(3)]
+    hi3 = [jnp.max(ab_ref[:, k + 3]) for k in range(3)]
+    return lo3, hi3
 
 
 def _sweep_kernel_impl(
@@ -268,11 +286,34 @@ def _sweep_kernel_impl(
         # while_loop, NOT fori: Mosaic unrolls static-bound fori loops,
         # allocating every iteration's (4*tc, 512) temporaries separately —
         # 64 chunks blew the 16 MB scoped-VMEM stack (measured 32.1M)
-        _, (bk, bi, bt, bu, bv, brec) = lax.while_loop(
-            lambda st: st[0] < cpg,
-            lambda st: (st[0] + 1, chunk(st[0], st[1])),
-            (jnp.int32(0), (bk, bi, bt, bu, bv, brec0)),
-        )
+        def run_group(carry0):
+            _, st = lax.while_loop(
+                lambda st: st[0] < cpg,
+                lambda st: (st[0] + 1, chunk(st[0], st[1])),
+                (jnp.int32(0), carry0),
+            )
+            return st
+
+        carry0 = (bk, bi, bt, bu, bv, brec0)
+        if cull and cpg > 1:
+            # group-level skip: ONE slab decision against the union AABB of
+            # this group's chunks replaces cpg per-chunk decisions for rows
+            # that miss (or already beat) the whole group — at large mesh
+            # sizes the sweep is bound by per-chunk loop iterations, not by
+            # the matmuls they gate (measured: no-cull 403 chunks = 3.4 us
+            # per chunk VISIT, matmul itself ~0.2 us).
+            glo, ghi = _group_box(ab_ref)
+            tmin_g, tmax_g = _slab_lohi(glo, ghi, o_row, inv_row)
+            enter_g = jnp.maximum(tmin_g, 0.0)
+            cand_g = (
+                (tmax_g >= tmin_g) & (tmax_g > 0.0)
+                & (enter_g < bt * np.float32(1.0 + 1e-5))
+            )
+            (bk, bi, bt, bu, bv, brec) = lax.cond(
+                jnp.any(cand_g), run_group, lambda cr: cr, carry0
+            )
+        else:
+            (bk, bi, bt, bu, bv, brec) = run_group(carry0)
         if anyhit:
             # decode the approximate t from the packed key (2^-16 relative
             # quantization — far below the shadow-bias scale)
@@ -359,11 +400,28 @@ def _anyhit_kernel(f_ref, g_ref, tm_ref, ab_ref, o_ref, *, cpg, tc, cull=True):
             hit = jnp.max(ok.astype(jnp.int32), axis=0, keepdims=True)
             return jnp.maximum(acc, hit)
 
-        _, acc = lax.while_loop(
-            lambda st: st[0] < cpg,
-            lambda st: (st[0] + 1, chunk(st[0], st[1])),
-            (jnp.int32(0), o_ref[pl.ds(r, 1), :]),
-        )
+        def run_group(acc0):
+            _, acc = lax.while_loop(
+                lambda st: st[0] < cpg,
+                lambda st: (st[0] + 1, chunk(st[0], st[1])),
+                (jnp.int32(0), acc0),
+            )
+            return acc
+
+        acc0 = o_ref[pl.ds(r, 1), :]
+        if cull and cpg > 1:
+            # group-level skip (see _sweep_kernel_impl): one union-AABB
+            # decision per row gates all cpg chunk iterations
+            glo, ghi = _group_box(ab_ref)
+            tmin_g, tmax_g = _slab_lohi(glo, ghi, o_row, inv_row)
+            enter_g = jnp.maximum(tmin_g, 0.0)
+            cand_g = (
+                (tmax_g >= tmin_g) & (tmax_g > 0.0)
+                & (enter_g < tm * np.float32(1.0 + 1e-5)) & (acc0 == 0)
+            )
+            acc = lax.cond(jnp.any(cand_g), run_group, lambda a: a, acc0)
+        else:
+            acc = run_group(acc0)
         o_ref[pl.ds(r, 1), :] = acc
         return 0
 
@@ -722,6 +780,45 @@ def intersect_triangles_pallas_anyhit(
         return intersect_triangles(rays, v0, e1, e2, valid)
     bt, bi, bu, bv = _sweep(rays, v0, e1, e2, valid, interpret, True)
     return jnp.where(bi >= 0, bt, INF), bi, bu, bv
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sweep_stopgrad(interpret, o, d, v0, e1, e2, valid):
+    return intersect_triangles_pallas(
+        Rays(o=o, d=d), v0, e1, e2, valid, interpret=interpret
+    )
+
+
+def _sweep_stopgrad_fwd(interpret, o, d, v0, e1, e2, valid):
+    return _sweep_stopgrad(interpret, o, d, v0, e1, e2, valid), (
+        o.shape, d.shape, v0.shape, e1.shape, e2.shape
+    )
+
+
+def _sweep_stopgrad_bwd(interpret, shapes, _ct):
+    return tuple(jnp.zeros(s) for s in shapes) + (None,)
+
+
+_sweep_stopgrad.defvjp(_sweep_stopgrad_fwd, _sweep_stopgrad_bwd)
+
+
+def intersect_triangles_pallas_stopgrad(rays: Rays, v0, e1, e2, valid,
+                                        chunk=None, interpret=False):
+    """Fused Pallas sweep usable INSIDE ``jax.grad`` pipelines.
+
+    The fused kernel has no reverse-mode rule; this wrapper gives it one
+    that returns ZERO cotangents for rays and geometry. That is exact for
+    the framework's differentiable parameter set (albedo / Le / sigma /
+    density — diff.py): with detached sampling, ray origins/directions and
+    triangle vertices are functions of geometry + RNG only, so no gradient
+    ever flows through the intersection OUTPUTS; appearance gradients
+    travel through the ``tri_rec`` gather by winner index, which stays
+    outside the kernel and differentiates normally. Do NOT use it to
+    differentiate w.r.t. vertex positions (geometry gradients would be
+    silently zero — the XLA ``intersect_triangles_mm`` path is the one
+    that supports those).
+    """
+    return _sweep_stopgrad(interpret, rays.o, rays.d, v0, e1, e2, valid)
 
 
 def default_tri_fn(anyhit=False):

@@ -13,6 +13,8 @@ bounce, site 0 is RR, 1 is the BSDF 2-uniform, 2 the BSDF lobe choice, and
 16+i the i-th light sample.
 """
 
+from functools import partial
+
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -149,7 +151,7 @@ def make_direct_integrator(scene, statics, tri_fn=None):
 def make_path_integrator(
     scene, statics, max_depth, nee=True, le_depth0_only=None,
     cosine_sampling=False, tri_fn=None, mis=False, with_stats=False,
-    nee_mode="all", fused="auto",
+    nee_mode="all", fused="auto", sort_rays="auto",
 ):
     """Indirect (``nee=False``) and GI (``nee=True``) path tracing
     (reference: Src/integrator.h:122-190 and 198-291).
@@ -166,6 +168,15 @@ def make_path_integrator(
     depth, weighted against the light pdf for the sampled direction; light
     samples are weighted against the BSDF pdf. Lower variance than either
     strategy alone, unbiased.
+
+    ``sort_rays`` (TPU scheduling, not an estimator change — see
+    geometry/raysort.py): re-sort the wavefront between bounces by
+    (direction octant | origin Morton) and park dead lanes outside the
+    scene, so the fused sweep's per-row chunk culling stays effective on
+    incoherent bounce/shadow rays. Images are bitwise identical with it on
+    or off. "auto" = on when the triangle table is large enough that the
+    sweep dominates (> 4096 rows, i.e. whenever the megakernel is
+    ineligible by size).
 
     ``with_stats`` (SURVEY.md §5 metrics): ``integrate`` returns
     ``(radiance, stats)`` where stats maps each per-bounce counter
@@ -203,11 +214,42 @@ def make_path_integrator(
             )
             return fi
 
+    if sort_rays == "auto":
+        try:
+            n_real_tris = int(np.asarray(scene.tri_obj >= 0).sum())
+        except Exception:  # traced tables (donated pytree): stay off
+            n_real_tris = 0
+        sort_on = max_depth > 1 and n_real_tris > 4096
+    else:
+        sort_on = bool(sort_rays) and max_depth > 1
+
     def integrate(rays: Rays, keys):
         n = rays.o.shape[0]
 
-        def bounce(depth, state):
-            radiance, throughput, o, d, active, prev_pdf, prev_delta, stats = state
+        if sort_on:
+            from ..geometry.raysort import coherence_key, scene_bounds
+
+            lo, hi = scene_bounds(scene)
+            ext = jnp.maximum(hi - lo, 1e-30)
+            inv_ext = 1.0 / ext
+            park_o = hi + 10.0 * ext
+            park_d = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+
+        def bounce(depth, state, do_sort=False):
+            radiance, throughput, o, d, active, prev_pdf, prev_delta, stats = state[:8]
+            if sort_on:
+                keys_l, lane = state[8], state[9]
+            else:
+                keys_l = keys
+            if do_sort:
+                skey = coherence_key(o, d, active, lo, inv_ext)
+                perm = jnp.argsort(skey, stable=True)
+                (radiance, throughput, o, d, active, prev_pdf, prev_delta,
+                 keys_l, lane) = (
+                    jnp.take(a, perm, axis=0)
+                    for a in (radiance, throughput, o, d, active, prev_pdf,
+                              prev_delta, keys_l, lane)
+                )
             n_in = jnp.sum(active.astype(jnp.int32)) if with_stats else None
             site = depth * SITES_PER_BOUNCE
             cur = Rays(o=o, d=d)
@@ -218,7 +260,7 @@ def make_path_integrator(
 
             # Russian roulette for depth > 0 (Src/integrator.h:224-231)
             rr_prob = jnp.minimum(jnp.mean(throughput, axis=-1), 1.0)
-            u_rr = uniform1(keys, site + _SITE_RR)
+            u_rr = uniform1(keys_l, site + _SITE_RR)
             do_rr = depth > 0
             # active-masked so the stats counter only counts real kills
             killed = active & do_rr & (u_rr >= rr_prob)
@@ -257,7 +299,7 @@ def make_path_integrator(
             n_nee = jnp.sum(active.astype(jnp.int32)) if with_stats else None
             if nee and statics["n_area_lights"] > 0:
                 direct = _nee_area_lights(
-                    scene, statics, hit, d, throughput, keys,
+                    scene, statics, hit, d, throughput, keys_l,
                     site + _SITE_LIGHT0, tri_fn,
                     mis=mis, cosine_sampling=cosine_sampling,
                     nee_mode=nee_mode,
@@ -268,8 +310,8 @@ def make_path_integrator(
 
             # BSDF bounce (Src/integrator.h:271-283)
             wo_l = world_to_local(-d, hit.dpdu, hit.ns, hit.dpdv)
-            u2 = uniform2(keys, site + _SITE_BSDF)
-            ul = uniform1(keys, site + _SITE_LOBE)
+            u2 = uniform2(keys_l, site + _SITE_BSDF)
+            ul = uniform1(keys_l, site + _SITE_LOBE)
             bs = sample_bsdf_direct(
                 hit.mtype, hit.albedo, hit.ior, wo_l, u2, ul, cosine_sampling
             )
@@ -287,6 +329,12 @@ def make_path_integrator(
                 o,
             )
             d = jnp.where(active[:, None], wi, d)
+            if sort_on:
+                # park dead lanes outside the bounds pointing away: rows of
+                # dead lanes (sorted last) slab-reject every chunk/shadow
+                # sweep. Dead lanes' o/d feed nothing unmasked.
+                o = jnp.where(active[:, None], o, park_o)
+                d = jnp.where(active[:, None], d, park_d)
             prev_pdf = jnp.where(active, bs.pdf, prev_pdf)
             prev_delta = jnp.where(active, bs.is_delta, prev_delta)
             if with_stats:
@@ -301,7 +349,11 @@ def make_path_integrator(
                     jnp.sum(active.astype(jnp.int32)),
                 ])
                 stats = stats.at[depth].set(row)
-            return radiance, throughput, o, d, active, prev_pdf, prev_delta, stats
+            out = (radiance, throughput, o, d, active, prev_pdf, prev_delta,
+                   stats)
+            if sort_on:
+                out = out + (keys_l, lane)
+            return out
 
         state = (
             jnp.zeros((n, 3)),
@@ -313,15 +365,24 @@ def make_path_integrator(
             jnp.zeros((n,), bool),
             jnp.zeros((max_depth, 5), jnp.int32),
         )
+        if sort_on:
+            state = state + (keys, jnp.arange(n, dtype=jnp.int32))
         # unroll small depths: straight-line code avoids the while-loop's
         # per-iteration carry copies and fuses across bounces (measurably
         # faster on the TPU toolchain); deep paths fall back to fori_loop
         if max_depth <= 8:
             for depth in range(max_depth):
-                state = bounce(depth, state)
+                state = bounce(depth, state, do_sort=sort_on and depth > 0)
         else:
-            state = lax.fori_loop(0, max_depth, bounce, state)
-        radiance, stats = state[0], state[-1]
+            state = lax.fori_loop(
+                0, max_depth, partial(bounce, do_sort=sort_on), state
+            )
+        radiance, stats = state[0], state[7]
+        if sort_on:
+            # scatter each lane's radiance back to its original slot so the
+            # caller sees pixel order — bitwise equal to the unsorted path
+            lane = state[9]
+            radiance = jnp.zeros_like(radiance).at[lane].set(radiance)
         if with_stats:
             keys_ = ("rays", "shadow_rays", "rr_killed", "emitter_hits",
                      "active_out")
