@@ -253,3 +253,70 @@ def test_culling_toggle():
     assert t_off[0] < 1e30 and t_off[1] < 1e30  # both sides hit w/o culling
     # with culling exactly one side (det > 0) hits
     assert (t_on < 1e30).sum() == 1
+
+
+def test_light_power_weights():
+    """Host-side power weights: mean(Le) * area * pi with the per-type
+    area forms (tri |Ng|/2, quad |Ng|, sphere 4 pi r^2); padding rows 0."""
+    from xraytracer_tpu.lights import light_power_weights
+
+    b = SceneBuilder()
+    b.add_triangle_light((0, 0, 0), (2, 0, 0), (0, 2, 0), (1, 1, 1))
+    b.add_quad_light((0, 5, 0), (1, 5, 0), (0, 5, 2), (3, 0, 0))
+    b.add_sphere_light((0, 9, 0), 0.5, (2, 2, 2))
+    w = light_power_weights(b.build())
+    np.testing.assert_allclose(
+        w[:3],
+        [2.0 * np.pi, 2.0 * np.pi, 2.0 * np.pi ** 2],
+        rtol=1e-6,
+    )
+    assert (w[3:] == 0.0).all()
+
+
+def _two_light_scene(le_a=(9.0, 9.0, 9.0), le_b=(1.0, 1.0, 1.0)):
+    b = SceneBuilder()
+    # wound so the geometric normal points UP (+y) toward the lights
+    floor = np.asarray(
+        [[[-4, -1, -4], [4, -1, 4], [4, -1, -4]],
+         [[-4, -1, -4], [-4, -1, 4], [4, -1, 4]]], np.float32,
+    )
+    b.add_mesh(floor, material=b.add_lambert((0.8, 0.8, 0.8)))
+    b.add_quad_light((-2.0, 2.0, -0.5), (-1.0, 2.0, -0.5), (-2.0, 2.0, 0.5),
+                     le_a)
+    b.add_quad_light((1.0, 2.0, -0.5), (2.0, 2.0, -0.5), (1.0, 2.0, 0.5),
+                     le_b)
+    c2w = from_rows(1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0, 0, 0.6, 4.0, 1)
+    return b.build(), dict(c2w=c2w, fov_deg=60.0)
+
+
+def test_power_nee_unbiased_and_lower_variance():
+    """nee_mode="power" (power-proportional single-light NEE through the
+    general DiscreteDistribution1D) keeps the expectation of "all" and has
+    LOWER seed-to-seed variance than uniform "one" when light powers are
+    skewed (here 9:1)."""
+    from xraytracer_tpu.integrators import make_path_integrator
+    from xraytracer_tpu.scene.builder import scene_statics
+
+    tables, camk = _two_light_scene()
+    statics = scene_statics(tables)
+    W, H = 48, 36
+    cam = PinholeCamera.make(W / H, **camk)
+
+    def render_mode(mode, seed, spp):
+        integ = make_path_integrator(
+            tables, statics, max_depth=1, nee=True, cosine_sampling=True,
+            nee_mode=mode, fused="never",
+        )
+        return np.asarray(render(tables, cam, integ, W, H, spp,
+                                 seed=seed).image)
+
+    ref = render_mode("all", 0, 96)
+    pw = render_mode("power", 0, 96)
+    # same expectation: image means agree within Monte-Carlo noise
+    np.testing.assert_allclose(pw.mean(), ref.mean(), rtol=0.04)
+
+    # variance: per-pixel spread across seeds, power < uniform one
+    seeds = range(1, 6)
+    var_one = np.var([render_mode("one", s, 16) for s in seeds], axis=0)
+    var_pow = np.var([render_mode("power", s, 16) for s in seeds], axis=0)
+    assert var_pow.mean() < var_one.mean()

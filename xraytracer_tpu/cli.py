@@ -86,11 +86,13 @@ def make_integrator(cfg, tables, statics, with_stats=False):
         return make_path_integrator(
             tables, statics, cfg.max_depth, nee=True,
             cosine_sampling=cfg.cosine_sampling, with_stats=with_stats,
+            nee_mode=cfg.nee_mode,
         )
     if cfg.integrator == "gi_mis":
         return make_path_integrator(
             tables, statics, cfg.max_depth, mis=True,
             cosine_sampling=cfg.cosine_sampling, with_stats=with_stats,
+            nee_mode=cfg.nee_mode,
         )
     if cfg.integrator == "whitted":
         return make_whitted_integrator(tables, statics, cfg.max_depth)
@@ -123,6 +125,11 @@ def main(argv=None):
     p.add_argument("--spp-chunk", type=int, default=None, dest="spp_chunk")
     p.add_argument("--max-steps", type=int, default=None, dest="max_steps",
                    help="tracking-loop step bound for volume integrators")
+    p.add_argument("--nee-mode", default=None, dest="nee_mode",
+                   choices=("all", "one", "power"),
+                   help="NEE light selection: sum all lights (reference "
+                        "semantics), one uniform pick, or power-weighted "
+                        "pick (many-light scenes)")
     p.add_argument("--cosine", action="store_true", default=None,
                    dest="cosine_sampling",
                    help="cosine-weighted Lambert sampling (lower variance)")
@@ -167,6 +174,7 @@ def main(argv=None):
         seed=args.seed, spp_chunk=args.spp_chunk, max_steps=args.max_steps,
         cosine_sampling=args.cosine_sampling, shard=args.shard,
         checkpoint=args.checkpoint, obj=args.obj, output=args.output,
+        nee_mode=args.nee_mode,
     )
 
     tables, cam_kwargs = build_scene(cfg, density_grid=args.density_grid)

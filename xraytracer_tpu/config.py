@@ -24,6 +24,7 @@ class RenderConfig:
     seed: int = 0
     spp_chunk: int = 0          # 0 = all spp in one jit loop
     cosine_sampling: bool = False  # lower-variance Lambert sampling
+    nee_mode: str = "all"       # all|one|power — NEE light-selection strategy
     max_steps: int = 0          # tracking-loop bound; 0 = auto from majorant x bbox diagonal
     shard: bool = False         # shard pixels over all local devices
     checkpoint: Optional[str] = None

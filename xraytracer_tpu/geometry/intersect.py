@@ -342,6 +342,26 @@ def _resolve_tri_fn(tri_fn, anyhit=False):
     return default_tri_fn(anyhit=anyhit)
 
 
+def _gather_rec(tri_rec, ti):
+    """Winner-record fetch ``tri_rec[ti]`` for the out-of-kernel sweeps.
+
+    On TPU a row gather is serialized and — worse — its reverse is a
+    scatter-add, which dominates ``jax.grad`` pipelines (the record table
+    is the path appearance gradients travel through, diff.py). For small
+    tables the MXU one-hot matmul form is used instead: identical values
+    (one exact row survives, HIGHEST precision), and its transpose is a
+    matmul, not a scatter. Large tables keep the gather — O(N·T) one-hot
+    work would swamp the win, and those pipelines pin the in-kernel
+    record extraction anyway."""
+    n_rows = tri_rec.shape[0]
+    if n_rows > 1024:
+        return tri_rec[jnp.maximum(ti, 0)]
+    one_hot = (
+        ti[:, None] == jnp.arange(n_rows, dtype=ti.dtype)[None, :]
+    ).astype(tri_rec.dtype)
+    return jnp.dot(one_hot, tri_rec, precision=jax.lax.Precision.HIGHEST)
+
+
 def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
     """Nearest hit across all primitive tables, with full surface record.
 
@@ -367,7 +387,7 @@ def intersect_scene(scene, rays: Rays, tri_fn=None) -> Hit:
         tt, ti, tu, tv = tri_fn(
             rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_obj >= 0
         )
-        rec = scene.tri_rec[jnp.maximum(ti, 0)]
+        rec = _gather_rec(scene.tri_rec, ti)
     if _table_nonempty(scene.sph_obj):
         st, si = intersect_spheres(
             rays, scene.sph_center, scene.sph_radius, scene.sph_obj >= 0
@@ -512,7 +532,7 @@ def occluded(scene, rays: Rays, t_max, tri_fn=None):
     tri_light = scene.obj_light[jnp.maximum(scene.tri_obj, 0)]
     tri_blocks = (scene.tri_obj >= 0) & (tri_light < 0)
     use_bool_kernel = False
-    if tri_fn is None:
+    if tri_fn is None or getattr(tri_fn, "detached_ok", False):
         try:
             use_bool_kernel = jax.devices()[0].platform == "tpu"
         except Exception:
@@ -520,11 +540,18 @@ def occluded(scene, rays: Rays, t_max, tri_fn=None):
     if use_bool_kernel:
         # boolean Pallas sweep: the t_max compare happens in-kernel (no
         # nearest-hit ordering, no division) — the shadow path only needs
-        # any-hit-closer-than-t_max
+        # any-hit-closer-than-t_max. Visibility is a detached boolean in
+        # every estimator (no gradient flows through it), so under
+        # jax.grad (``detached_ok`` sweeps, diff.py) the inputs are
+        # stop_gradient-ed and the kernel needs no VJP rule.
+        from jax import lax
+
         from .pallas_kernels import occluded_triangles_pallas
 
         blocked = occluded_triangles_pallas(
-            rays, scene.tri_v0, scene.tri_e1, scene.tri_e2, tri_blocks, t_max
+            Rays(o=lax.stop_gradient(rays.o), d=lax.stop_gradient(rays.d)),
+            scene.tri_v0, scene.tri_e1, scene.tri_e2, tri_blocks,
+            lax.stop_gradient(t_max),
         )
     else:
         tri_fn = _resolve_tri_fn(tri_fn, anyhit=True)

@@ -821,6 +821,12 @@ def intersect_triangles_pallas_stopgrad(rays: Rays, v0, e1, e2, valid,
     return _sweep_stopgrad(interpret, rays.o, rays.d, v0, e1, e2, valid)
 
 
+# geometry/intersect.occluded: shadow sweeps in pipelines built on this
+# sweep may use the boolean any-hit kernel with stop_gradient-ed inputs
+# (visibility is a detached boolean in every estimator here)
+intersect_triangles_pallas_stopgrad.detached_ok = True
+
+
 def default_tri_fn(anyhit=False):
     """Platform-appropriate triangle sweep: the fused Pallas kernel on TPU
     (with a cheaper any-hit flavor for shadow rays), the XLA matmul

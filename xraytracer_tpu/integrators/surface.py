@@ -82,6 +82,10 @@ def _nee_area_lights(
     (contribution / pick probability — the volume NEE's strategy,
     Src/integrator.h:586-602) so many-light scenes compile O(1) sweeps per
     bounce; same expectation, higher per-spp variance.
+    ``nee_mode="power"`` is "one" with the pick probability proportional to
+    each light's emitted power (mean Le x area) via the general
+    ``DiscreteDistribution1D`` — same expectation, much lower variance when
+    light powers are skewed.
 
     cos is clamped against the geometric normal and shadow rays start at
     position + 0.01 * ng with range tmax - 0.01, exactly as the reference.
@@ -92,11 +96,29 @@ def _nee_area_lights(
 
     n_lights = statics["n_area_lights"]
     direct = jnp.zeros_like(throughput)
-    if nee_mode == "one" and n_lights > 0:
+    if nee_mode in ("one", "power") and n_lights > 0:
         from ..lights import pick_uniform_light
 
         u_pick = uniform1(keys, site0 + 0)
-        lidx, pick_prob = pick_uniform_light(n_lights, u_pick)
+        if nee_mode == "power":
+            # power-proportional selection through the general N-bin CDF
+            # container (Src/sampler.h:53-97's intended many-light use):
+            # bright lights are picked more often, contribution / pmf keeps
+            # the estimator unbiased; zero-power lights are never picked.
+            # Traced tables (donated pytrees) can't weigh — uniform then.
+            from ..lights import light_power_weights
+            from ..sampling import DiscreteDistribution1D
+
+            try:
+                w = light_power_weights(scene)[:n_lights]
+            except Exception:
+                w = None
+            if w is not None:
+                lidx, pick_prob = DiscreteDistribution1D(w).sample(u_pick)
+            else:
+                lidx, pick_prob = pick_uniform_light(n_lights, u_pick)
+        else:
+            lidx, pick_prob = pick_uniform_light(n_lights, u_pick)
         u2 = uniform2(keys, site0 + 1)
         ls = sample_area_light(scene, lidx, hit.position, u2)
         ls = ls._replace(pdf=ls.pdf * pick_prob)
@@ -339,7 +361,7 @@ def make_path_integrator(
             prev_delta = jnp.where(active, bs.is_delta, prev_delta)
             if with_stats:
                 n_lights = statics["n_area_lights"] if nee else 0
-                if nee_mode == "one" and n_lights > 1:
+                if nee_mode in ("one", "power") and n_lights > 1:
                     n_lights = 1  # one shadow ray per vertex in this mode
                 row = jnp.stack([
                     n_in,

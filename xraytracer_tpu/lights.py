@@ -246,6 +246,28 @@ def sample_delta_light(scene, light_idx, position) -> LightSample:
     return LightSample(wi=wi, t_max=t_max, pdf=pdf, le=le)
 
 
+def light_power_weights(scene):
+    """Per-row emitted power of the area-light table as a CONCRETE float64
+    numpy array — built once at trace time (host side), the way the
+    reference constructs its ``DiscreteEmpiricalDistribution1D`` up front
+    (Src/sampler.h:53-70). Power = mean(Le) * area * pi (the Lambert
+    emitter constant cancels in the normalization but keeps the numbers
+    physical): triangle area = |Ng|/2, quad = |Ng| (Ng is the unnormalized
+    cross(e1, e2)), sphere = 4 pi r^2. Invalid rows weigh 0. Raises on
+    traced tables — callers fall back to uniform picking."""
+    import numpy as np
+
+    lt = np.asarray(scene.al_type)
+    le = np.asarray(scene.al_le, np.float64).mean(axis=1)
+    a_flat = np.linalg.norm(np.asarray(scene.al_ng, np.float64), axis=1)
+    r = np.asarray(scene.al_radius, np.float64)
+    area = np.where(
+        lt == AL_TRIANGLE, 0.5 * a_flat,
+        np.where(lt == AL_SPHERE, 4.0 * np.pi * r * r, a_flat),
+    )
+    return np.where(lt >= 0, le * area * np.pi, 0.0)
+
+
 def pick_uniform_light(n_lights, u):
     """Uniform light selection index + its 1/n probability
     (reference: Src/scene.cpp:182-188 ``sampleAreaLight``). ``n_lights`` is a
