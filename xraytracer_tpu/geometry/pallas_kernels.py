@@ -49,23 +49,31 @@ _IDX_MASK = np.int32(0x7F)       # low 7 bits carry the chunk-local triangle
 
 
 def _sweep_kernel(
-    f_ref, g_ref, ab_ref, t_ref, i_ref, u_ref, v_ref, bk_scr, *, cpg, tc,
-    cull=True, use_mxu=True, anyhit=False,
+    *refs, cpg, tc, cull=True, use_mxu=True, anyhit=False, worklist=False,
 ):
+    ids_ref = nact_ref = None
+    if worklist:
+        ids_ref, nact_ref, refs = refs[0], refs[1], refs[2:]
+    f_ref, g_ref, ab_ref, t_ref, i_ref, u_ref, v_ref, bk_scr = refs
     _sweep_kernel_impl(
         f_ref, g_ref, None, ab_ref, t_ref, i_ref, u_ref, v_ref, None,
         bk_scr, cpg=cpg, tc=tc, cull=cull, use_mxu=use_mxu, anyhit=anyhit,
+        ids_ref=ids_ref, nact_ref=nact_ref,
     )
 
 
 def _sweep_kernel_rec(
-    f_ref, g_ref, rec_ref_in, ab_ref, t_ref, i_ref, u_ref, v_ref, rec_ref,
-    bk_scr, *, cpg, tc, cull=True, use_mxu=True,
+    *refs, cpg, tc, cull=True, use_mxu=True, worklist=False,
 ):
+    ids_ref = nact_ref = None
+    if worklist:
+        ids_ref, nact_ref, refs = refs[0], refs[1], refs[2:]
+    (f_ref, g_ref, rec_ref_in, ab_ref, t_ref, i_ref, u_ref, v_ref,
+     rec_ref, bk_scr) = refs
     _sweep_kernel_impl(
         f_ref, g_ref, rec_ref_in, ab_ref, t_ref, i_ref, u_ref, v_ref,
         rec_ref, bk_scr, cpg=cpg, tc=tc, cull=cull, use_mxu=use_mxu,
-        anyhit=False,
+        anyhit=False, ids_ref=ids_ref, nact_ref=nact_ref,
     )
 
 
@@ -94,16 +102,29 @@ def _row_slab(ab_ref, c, o_row, inv_row):
 
 def _group_box(ab_ref):
     """Union AABB of the in-VMEM chunk-AABB block: (lo3, hi3) scalars.
-    Empty (padded) chunks have lo > hi and drop out of the min/max; an
-    all-empty group yields an empty union every slab test rejects."""
+    Empty (padded) chunks have lo > hi and drop out of the min/max."""
     lo3 = [jnp.min(ab_ref[:, k]) for k in range(3)]
     hi3 = [jnp.max(ab_ref[:, k + 3]) for k in range(3)]
     return lo3, hi3
 
 
+# AABB-table validity column. The branchless min/max slab test CANNOT
+# reject an inverted (lo > hi) "empty" box — per component it sees the
+# interval [min(lo,hi), max(lo,hi)], so a +/-BIG empty box behaves as an
+# INFINITE box and every padded chunk used to pay the full sweep body.
+# Column 6 of the (n_chunks, 8) table is an explicit validity flag
+# (1.0 = chunk has >= 1 valid triangle) that gates candidacy instead.
+AB_VALID_COL = 6
+
+# Per-tile group worklists (scalar-prefetch dynamic block indices). Module
+# flag so bench_sweep.py can A/B the plain streamed grid on real hardware.
+ENABLE_WORKLIST = True
+
+
 def _sweep_kernel_impl(
     f_ref, g_ref, rec_in, ab_ref, t_ref, i_ref, u_ref, v_ref, rec_out,
     bk_scr, *, cpg, tc, cull=True, use_mxu=True, anyhit=False,
+    ids_ref=None, nact_ref=None,
 ):
     """One 4096-ray tile vs. one GROUP of ``cpg`` triangle chunks.
 
@@ -144,6 +165,22 @@ def _sweep_kernel_impl(
     assert tc <= 128, "local index must fit the 7-bit key field"
     g_id = pl.program_id(1)
 
+    # Worklist mode (ids_ref/nact_ref scalar-prefetched): the group-grid
+    # step g processes GROUP ids_ref[tile, g] — each tile visits only the
+    # groups an XLA pre-pass (``_group_worklist``) proved some lane could
+    # touch. Steps past nact_ref[tile] repeat the last active block index
+    # (no DMA is issued for an unchanged index) and skip the body
+    # entirely. Measured on the axon backend: a fully-skipped plain grid
+    # step still costs ~30 us (bench_sweep.py group-skip case) — at 51k
+    # tris that fixed floor WAS the whole sweep cost.
+    if ids_ref is not None:
+        tile = pl.program_id(0)
+        group_id = ids_ref[tile, g_id]
+        run = g_id < nact_ref[tile]
+    else:
+        group_id = g_id
+        run = None
+
     @pl.when(g_id == 0)
     def _init():
         bk_scr[...] = jnp.full(
@@ -156,7 +193,7 @@ def _sweep_kernel_impl(
         if rec_out is not None:
             rec_out[...] = jnp.zeros((RAY_ROWS, 32, RAY_LANES))
 
-    chunk_base = g_id * np.int32(cpg)
+    chunk_base = group_id * np.int32(cpg)
 
     def row_body(r, _):
         # lax loop (not Python unroll): the row bodies then SHARE one
@@ -181,6 +218,7 @@ def _sweep_kernel_impl(
             cand = (
                 (tmax >= tmin) & (tmax > 0.0)
                 & (enter < bt_cur * np.float32(1.0 + 1e-5))
+                & (ab_ref[c, AB_VALID_COL] > 0.0)
             )
             return lax.cond(
                 jnp.any(cand), partial(_run_chunk, c), lambda cr: cr, carry
@@ -308,6 +346,7 @@ def _sweep_kernel_impl(
             cand_g = (
                 (tmax_g >= tmin_g) & (tmax_g > 0.0)
                 & (enter_g < bt * np.float32(1.0 + 1e-5))
+                & (jnp.max(ab_ref[:, AB_VALID_COL]) > 0.0)
             )
             (bk, bi, bt, bu, bv, brec) = lax.cond(
                 jnp.any(cand_g), run_group, lambda cr: cr, carry0
@@ -328,10 +367,15 @@ def _sweep_kernel_impl(
             rec_out[rs, :, :] = brec[None]
         return 0
 
-    lax.fori_loop(0, RAY_ROWS, row_body, 0)
+    if run is None:
+        lax.fori_loop(0, RAY_ROWS, row_body, 0)
+    else:
+        @pl.when(run)
+        def _rows():
+            lax.fori_loop(0, RAY_ROWS, row_body, 0)
 
 
-def _anyhit_kernel(f_ref, g_ref, tm_ref, ab_ref, o_ref, *, cpg, tc, cull=True):
+def _anyhit_kernel(*refs, cpg, tc, cull=True, worklist=False):
     """Boolean shadow sweep: ``blocked = any(valid MT hit with t < t_max)``.
 
     Much leaner than the nearest-hit kernel — no division, no key packing,
@@ -340,9 +384,19 @@ def _anyhit_kernel(f_ref, g_ref, tm_ref, ab_ref, o_ref, *, cpg, tc, cull=True):
     Replaces ``Mesh::occluded`` (reference: Src/primitive.cpp:118-138).
     Chunk AABBs gate each chunk's matmul behind a per-lane slab-vs-t_max
     test, and the grid streams chunk GROUPS from HBM with the blocked
-    state accumulating in the output ref (see ``_sweep_kernel_impl``).
+    state accumulating in the output ref (see ``_sweep_kernel_impl``,
+    including the worklist mode — here the pre-pass also prunes groups
+    entirely beyond the lanes' t_max).
     """
+    ids_ref = nact_ref = None
+    if worklist:
+        ids_ref, nact_ref, refs = refs[0], refs[1], refs[2:]
+    f_ref, g_ref, tm_ref, ab_ref, o_ref = refs
     g_id = pl.program_id(1)
+    if ids_ref is not None:
+        run = g_id < nact_ref[pl.program_id(0)]
+    else:
+        run = None
 
     @pl.when(g_id == 0)
     def _init():
@@ -367,6 +421,7 @@ def _anyhit_kernel(f_ref, g_ref, tm_ref, ab_ref, o_ref, *, cpg, tc, cull=True):
             cand = (
                 (tmax >= tmin) & (tmax > 0.0)
                 & (enter < tm * np.float32(1.0 + 1e-5)) & (acc == 0)
+                & (ab_ref[c, AB_VALID_COL] > 0.0)
             )
             return lax.cond(
                 jnp.any(cand), partial(_run_chunk, c), lambda a: a, acc
@@ -418,6 +473,7 @@ def _anyhit_kernel(f_ref, g_ref, tm_ref, ab_ref, o_ref, *, cpg, tc, cull=True):
             cand_g = (
                 (tmax_g >= tmin_g) & (tmax_g > 0.0)
                 & (enter_g < tm * np.float32(1.0 + 1e-5)) & (acc0 == 0)
+                & (jnp.max(ab_ref[:, AB_VALID_COL]) > 0.0)
             )
             acc = lax.cond(jnp.any(cand_g), run_group, lambda a: a, acc0)
         else:
@@ -425,7 +481,12 @@ def _anyhit_kernel(f_ref, g_ref, tm_ref, ab_ref, o_ref, *, cpg, tc, cull=True):
         o_ref[pl.ds(r, 1), :] = acc
         return 0
 
-    lax.fori_loop(0, RAY_ROWS, row_body, 0)
+    if run is None:
+        lax.fori_loop(0, RAY_ROWS, row_body, 0)
+    else:
+        @pl.when(run)
+        def _rows():
+            lax.fori_loop(0, RAY_ROWS, row_body, 0)
 
 
 def occluded_triangles_pallas(
@@ -459,11 +520,49 @@ def occluded_triangles_pallas(
         f = jnp.pad(f, ((0, 0), (0, n_pad - n)))
         tm = jnp.pad(tm, (0, n_pad - n))
     n_tiles = n_pad // RAY_TILE
+    tm_flat = tm
     tm = tm.reshape(n_tiles * RAY_ROWS, RAY_LANES)
     cpg, n_groups, n_cpad = _grouping(n_chunks)
     g_chunks = _pad_chunk_axis(g_chunks, n_cpad)
     ab = _pad_aabbs(ab, n_cpad)
-    kernel = partial(_anyhit_kernel, cpg=cpg, tc=tc, cull=n_cpad > 1)
+    worklist = ENABLE_WORKLIST and n_groups > 1
+    kernel = partial(_anyhit_kernel, cpg=cpg, tc=tc, cull=n_cpad > 1,
+                     worklist=worklist)
+    cp = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary")
+    )
+    out_shape = jax.ShapeDtypeStruct(
+        (n_tiles * RAY_ROWS, RAY_LANES), jnp.int32
+    )
+    if worklist:
+        # the shadow worklist also prunes groups entirely beyond t_max
+        ids, nact = _group_worklist(f, ab, n_tiles, cpg, n_groups,
+                                    tm=tm_flat)
+        io_spec = pl.BlockSpec(
+            (RAY_ROWS, RAY_LANES), lambda i, g, ids, na: (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles, n_groups),
+            in_specs=[
+                pl.BlockSpec((10, RAY_TILE), lambda i, g, ids, na: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cpg, 4 * tc, 10),
+                             lambda i, g, ids, na: (ids[i, g], 0, 0),
+                             memory_space=pltpu.VMEM),
+                io_spec,
+                pl.BlockSpec((cpg, 8),
+                             lambda i, g, ids, na: (ids[i, g], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=io_spec,
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=gs, out_shape=out_shape,
+            compiler_params=cp, interpret=interpret,
+        )(ids, nact, f, g_chunks, tm, ab)
+        return out.reshape(-1)[:n] > 0
     io_spec = pl.BlockSpec(
         (RAY_ROWS, RAY_LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM
     )
@@ -484,12 +583,8 @@ def occluded_triangles_pallas(
             ),
         ],
         out_specs=io_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_tiles * RAY_ROWS, RAY_LANES), jnp.int32
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
-        ),
+        out_shape=out_shape,
+        compiler_params=cp,
         interpret=interpret,
     )(f, g_chunks, tm, ab)
     return out.reshape(-1)[:n] > 0
@@ -507,6 +602,58 @@ def _build_g_chunks(v0, e1, e2, valid, tc):
     # (T, 4, 10) -> (n_chunks, tc, 4, 10) -> (n_chunks, 4, tc, 10)
     g = g.reshape(n_chunks, tc, 4, 10).transpose(0, 2, 1, 3)
     return g.reshape(n_chunks, 4 * tc, 10)
+
+
+def _group_worklist(f, ab, n_tiles, cpg, n_groups, tm=None):
+    """Per-tile active-group worklists for the streamed sweep grid.
+
+    XLA pre-pass over every (ray, group) pair: the same margin-padded slab
+    test the kernel's group gate runs (minus the running best-t prune,
+    which only the kernel knows), OR-reduced over each RAY_TILE-lane tile.
+    The 1e-4-relative AABB padding dwarfs any XLA-vs-Mosaic rounding
+    difference, so a group this pass rejects cannot contain a hit for any
+    lane of the tile — skipping it is bitwise-neutral.
+
+    Returns ``(ids, n_act)``: ids (n_tiles, n_groups) int32 — each tile's
+    candidate group ids in ascending order, padded by REPEATING the last
+    active id (an unchanged block index issues no DMA); n_act (n_tiles,)
+    int32. ``tm`` (n_rays_padded,) optionally prunes groups entirely
+    beyond a per-ray segment length (shadow sweeps).
+    """
+    n = f.shape[1]
+    abg = ab.reshape(n_groups, cpg, 8)
+    # invalid chunks carry an inverted +/-BIG box and drop out of the union
+    glo = jnp.min(abg[:, :, 0:3], axis=1)                    # (G, 3)
+    ghi = jnp.max(abg[:, :, 3:6], axis=1)
+    gvalid = jnp.max(abg[:, :, AB_VALID_COL], axis=1) > 0.0  # (G,)
+    tiny = np.float32(1e-12)
+    tmin = jnp.full((n_groups, n), -_BIG)
+    tmax = jnp.full((n_groups, n), _BIG)
+    for k in range(3):
+        d = f[3 + k]
+        inv = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)    # (N,)
+        ta = (glo[:, k][:, None] - f[6 + k][None, :]) * inv[None, :]
+        tb = (ghi[:, k][:, None] - f[6 + k][None, :]) * inv[None, :]
+        tmin = jnp.maximum(tmin, jnp.minimum(ta, tb))
+        tmax = jnp.minimum(tmax, jnp.maximum(ta, tb))
+    cand = (tmax >= tmin) & (tmax > 0.0) & gvalid[:, None]
+    if tm is not None:
+        cand &= jnp.maximum(tmin, 0.0) < tm[None, :] * np.float32(1.0 + 1e-5)
+    active = jnp.any(cand.reshape(n_groups, n_tiles, RAY_TILE), axis=2)
+    active = active.T                                        # (n_tiles, G)
+    gi = jnp.arange(n_groups, dtype=jnp.int32)
+    # active ids first (ascending), inactive after — stable by construction
+    order = jnp.argsort(
+        jnp.where(active, gi[None, :], gi[None, :] + np.int32(n_groups)),
+        axis=1,
+    ).astype(jnp.int32)
+    n_act = jnp.sum(active, axis=1).astype(jnp.int32)
+    last = jnp.take_along_axis(
+        order, jnp.maximum(n_act - 1, 0)[:, None], axis=1
+    )
+    pos = gi[None, :]
+    ids = jnp.where(pos < n_act[:, None], order, last)
+    return ids, n_act
 
 
 def _grouping(n_chunks):
@@ -527,7 +674,8 @@ def _pad_chunk_axis(x, n_pad):
 
 
 def _pad_aabbs(ab, n_pad):
-    """Pad with EMPTY boxes (lo > hi) so the slab test skips them."""
+    """Pad with invalid entries: validity column 0 (what actually gates
+    candidacy) plus an inverted box so the group-union math ignores them."""
     extra = n_pad - ab.shape[0]
     if extra == 0:
         return ab
@@ -543,11 +691,12 @@ def _pad_aabbs(ab, n_pad):
 
 
 def _build_chunk_aabbs(v0, e1, e2, valid, tc):
-    """(n_chunks, 8) chunk AABBs (lo3 | hi3 | pad2) over valid triangles'
-    vertices, in the same CENTERED coordinates as the ray features. Padded
-    by a small relative margin so slab-vs-MT rounding can never cull a
-    genuine hit; all-invalid chunks get an empty (lo > hi) box that every
-    slab test rejects."""
+    """(n_chunks, 8) chunk AABBs (lo3 | hi3 | valid | pad) over valid
+    triangles' vertices, in the same CENTERED coordinates as the ray
+    features. Padded by a small relative margin so slab-vs-MT rounding can
+    never cull a genuine hit. Column ``AB_VALID_COL`` is 1.0 iff the chunk
+    holds >= 1 valid triangle — the slab test alone cannot reject the
+    inverted box an all-invalid chunk gets (see AB_VALID_COL note)."""
     p1 = v0 + e1
     p2 = v0 + e2
     vm = valid[:, None]
@@ -562,9 +711,13 @@ def _build_chunk_aabbs(v0, e1, e2, valid, tc):
     n_chunks = v0.shape[0] // tc
     lo = lo.reshape(n_chunks, tc, 3).min(axis=1)
     hi = hi.reshape(n_chunks, tc, 3).max(axis=1)
+    has_valid = jnp.any(
+        valid.reshape(n_chunks, tc), axis=1, keepdims=True
+    ).astype(jnp.float32)
     pad = 1e-4 * jnp.maximum(hi - lo, 0.0).max(axis=-1, keepdims=True) + 1e-6
     return jnp.concatenate(
-        [lo - pad, hi + pad, jnp.zeros((n_chunks, 2), jnp.float32)], axis=-1
+        [lo - pad, hi + pad, has_valid,
+         jnp.zeros((n_chunks, 1), jnp.float32)], axis=-1
     )
 
 
@@ -579,11 +732,50 @@ def sweep_pallas(
     cpg, n_groups, n_cpad = _grouping(n_chunks)
     g_chunks = _pad_chunk_axis(g_chunks, n_cpad)
     ab = _pad_aabbs(ab, n_cpad)
-    kernel = partial(_sweep_kernel, cpg=cpg, tc=tc, cull=n_cpad > 1, anyhit=anyhit)
+    worklist = ENABLE_WORKLIST and n_groups > 1
+    kernel = partial(_sweep_kernel, cpg=cpg, tc=tc, cull=n_cpad > 1,
+                     anyhit=anyhit, worklist=worklist)
+    out_shape = (n_tiles * RAY_ROWS, RAY_LANES)
+    out_shapes = [
+        jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        jax.ShapeDtypeStruct(out_shape, jnp.int32),
+        jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        jax.ShapeDtypeStruct(out_shape, jnp.float32),
+    ]
+    scratch = [pltpu.VMEM((RAY_ROWS, RAY_LANES), jnp.int32)]
+    cp = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary")
+    )
+    if worklist:
+        ids, nact = _group_worklist(f, ab, n_tiles, cpg, n_groups)
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles, n_groups),
+            in_specs=[
+                pl.BlockSpec((10, RAY_TILE), lambda i, g, ids, na: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cpg, 4 * tc, 10),
+                             lambda i, g, ids, na: (ids[i, g], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cpg, 8),
+                             lambda i, g, ids, na: (ids[i, g], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((RAY_ROWS, RAY_LANES),
+                             lambda i, g, ids, na: (i, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 4,
+            scratch_shapes=scratch,
+        )
+        t, idx, u, v = pl.pallas_call(
+            kernel, grid_spec=gs, out_shape=out_shapes,
+            compiler_params=cp, interpret=interpret,
+        )(ids, nact, f, g_chunks, ab)
+        return t.reshape(-1), idx.reshape(-1), u.reshape(-1), v.reshape(-1)
     out_spec = pl.BlockSpec(
         (RAY_ROWS, RAY_LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM
     )
-    out_shape = (n_tiles * RAY_ROWS, RAY_LANES)
     t, idx, u, v = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_groups),
@@ -600,16 +792,9 @@ def sweep_pallas(
             ),
         ],
         out_specs=[out_spec] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            jax.ShapeDtypeStruct(out_shape, jnp.int32),
-            jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            jax.ShapeDtypeStruct(out_shape, jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((RAY_ROWS, RAY_LANES), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
-        ),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=cp,
         interpret=interpret,
     )(f, g_chunks, ab)
     return t.reshape(-1), idx.reshape(-1), u.reshape(-1), v.reshape(-1)
@@ -648,11 +833,63 @@ def sweep_pallas_rec(
     g_chunks = _pad_chunk_axis(g_chunks, n_cpad)
     rec_chunks = _pad_chunk_axis(rec_chunks, n_cpad)
     ab = _pad_aabbs(ab, n_cpad)
-    kernel = partial(_sweep_kernel_rec, cpg=cpg, tc=tc, cull=n_cpad > 1)
+    worklist = ENABLE_WORKLIST and n_groups > 1
+    kernel = partial(_sweep_kernel_rec, cpg=cpg, tc=tc, cull=n_cpad > 1,
+                     worklist=worklist)
+    out_shape = (n_tiles * RAY_ROWS, RAY_LANES)
+    out_shapes = [
+        jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        jax.ShapeDtypeStruct(out_shape, jnp.int32),
+        jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        jax.ShapeDtypeStruct(
+            (n_tiles * RAY_ROWS, 32, RAY_LANES), jnp.float32
+        ),
+    ]
+    scratch = [pltpu.VMEM((RAY_ROWS, RAY_LANES), jnp.int32)]
+    cp = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary")
+    )
+    if worklist:
+        ids, nact = _group_worklist(f, ab, n_tiles, cpg, n_groups)
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles, n_groups),
+            in_specs=[
+                pl.BlockSpec((10, RAY_TILE), lambda i, g, ids, na: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cpg, 4 * tc, 10),
+                             lambda i, g, ids, na: (ids[i, g], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cpg, tc, 32),
+                             lambda i, g, ids, na: (ids[i, g], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cpg, 8),
+                             lambda i, g, ids, na: (ids[i, g], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((RAY_ROWS, RAY_LANES),
+                             lambda i, g, ids, na: (i, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 4 + [
+                pl.BlockSpec((RAY_ROWS, 32, RAY_LANES),
+                             lambda i, g, ids, na: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            scratch_shapes=scratch,
+        )
+        t, idx, u, v, rec = pl.pallas_call(
+            kernel, grid_spec=gs, out_shape=out_shapes,
+            compiler_params=cp, interpret=interpret,
+        )(ids, nact, f, g_chunks, rec_chunks, ab)
+        return (
+            t.reshape(-1), idx.reshape(-1), u.reshape(-1), v.reshape(-1),
+            rec,
+        )
     out_spec = pl.BlockSpec(
         (RAY_ROWS, RAY_LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM
     )
-    out_shape = (n_tiles * RAY_ROWS, RAY_LANES)
     t, idx, u, v, rec = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_groups),
@@ -678,19 +915,9 @@ def sweep_pallas_rec(
                 memory_space=pltpu.VMEM,
             )
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            jax.ShapeDtypeStruct(out_shape, jnp.int32),
-            jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            jax.ShapeDtypeStruct(
-                (n_tiles * RAY_ROWS, 32, RAY_LANES), jnp.float32
-            ),
-        ],
-        scratch_shapes=[pltpu.VMEM((RAY_ROWS, RAY_LANES), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
-        ),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=cp,
         interpret=interpret,
     )(f, g_chunks, rec_chunks, ab)
     return (

@@ -61,6 +61,8 @@ SWEEP_GROUP = 2
 _INF_KEY = np.int32(0x7F800000)
 _IDX_MASK = np.int32(0x7F)
 _BIG = np.float32(3.0e38)
+# validity column of the chunk-AABB table (see geometry/pallas_kernels)
+from ..geometry.pallas_kernels import AB_VALID_COL  # noqa: E402
 
 # PCG constants (must match sampling/rng.py bit for bit)
 _GOLDEN = np.uint32(0x9E3779B9)
@@ -185,6 +187,7 @@ def _nearest_row(f, g_ref, rec_ref, ab_ref, n_chunks, tc):
         cand = (
             (tmax >= tmin) & (tmax > 0.0)
             & (enter < bt_dec * np.float32(1.0 + 1e-4))
+            & (ab_ref[c, AB_VALID_COL] > 0.0)
         )
         return lax.cond(
             jnp.any(cand), partial(_run_chunk, c), lambda cr: cr, carry
@@ -258,6 +261,7 @@ def _anyhit_row(f11, go_ref, abo_ref, n_chunks, tc):
         cand = (
             (tmax >= tmin) & (tmax > 0.0)
             & (enter < tm * np.float32(1.0 + 1e-5)) & (acc == 0)
+            & (abo_ref[c, AB_VALID_COL] > 0.0)
         )
         return lax.cond(
             jnp.any(cand), partial(_run_chunk, c), lambda a: a, acc
