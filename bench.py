@@ -16,7 +16,10 @@ self-set target in BASELINE.json: primary-rays/s on the GI Cornell box
     (65k lanes, bounded masked loop) on the procedural cloud;
   * het_nee_ms_per_spp — the reference nee workload (cloud + sphere light,
     VolumePathTracingNEE depth 32) at 256x256 through the fully-fused
-    heterogeneous megakernel.
+    heterogeneous megakernel;
+  * mesh_gi_51k_rays_per_s — GI depth-3 NEE on a 51k-triangle sphere mesh
+    (bench_mesh.py's largest point: 26x the reference's biggest shipped
+    mesh), the streamed worklist-culled sweep path.
 Set XRT_BENCH_FAST=1 to skip the extras (primary metric only).
 """
 
@@ -169,6 +172,13 @@ def _bench_het_nee():
     return renderer.render(8).seconds / 8 * 1e3
 
 
+def _bench_mesh_51k():
+    import bench_mesh
+
+    n_theta, n_phi = bench_mesh.SIZES["51k"]
+    return bench_mesh.bench_one(n_theta, n_phi, spp=4)["rays_per_s"]
+
+
 def _arm_watchdog():
     """The axon TPU tunnel can wedge so hard that even ``jax.devices()``
     blocks forever (observed 2026-08-18). A silent hang would leave the
@@ -225,6 +235,7 @@ def main():
             ("vpt_rays_per_s", _bench_vpt),
             ("het_tracking_ms", _bench_het_tracking),
             ("het_nee_ms_per_spp", _bench_het_nee),
+            ("mesh_gi_51k_rays_per_s", _bench_mesh_51k),
         ):
             try:
                 extra[name] = fn()

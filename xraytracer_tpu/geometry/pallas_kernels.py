@@ -51,29 +51,33 @@ _IDX_MASK = np.int32(0x7F)       # low 7 bits carry the chunk-local triangle
 def _sweep_kernel(
     *refs, cpg, tc, cull=True, use_mxu=True, anyhit=False, worklist=False,
 ):
-    ids_ref = nact_ref = None
+    ids_ref = nact_ref = mask_ref = None
     if worklist:
-        ids_ref, nact_ref, refs = refs[0], refs[1], refs[2:]
+        ids_ref, nact_ref, mask_ref, refs = (
+            refs[0], refs[1], refs[2], refs[3:]
+        )
     f_ref, g_ref, ab_ref, t_ref, i_ref, u_ref, v_ref, bk_scr = refs
     _sweep_kernel_impl(
         f_ref, g_ref, None, ab_ref, t_ref, i_ref, u_ref, v_ref, None,
         bk_scr, cpg=cpg, tc=tc, cull=cull, use_mxu=use_mxu, anyhit=anyhit,
-        ids_ref=ids_ref, nact_ref=nact_ref,
+        ids_ref=ids_ref, nact_ref=nact_ref, mask_ref=mask_ref,
     )
 
 
 def _sweep_kernel_rec(
     *refs, cpg, tc, cull=True, use_mxu=True, worklist=False,
 ):
-    ids_ref = nact_ref = None
+    ids_ref = nact_ref = mask_ref = None
     if worklist:
-        ids_ref, nact_ref, refs = refs[0], refs[1], refs[2:]
+        ids_ref, nact_ref, mask_ref, refs = (
+            refs[0], refs[1], refs[2], refs[3:]
+        )
     (f_ref, g_ref, rec_ref_in, ab_ref, t_ref, i_ref, u_ref, v_ref,
      rec_ref, bk_scr) = refs
     _sweep_kernel_impl(
         f_ref, g_ref, rec_ref_in, ab_ref, t_ref, i_ref, u_ref, v_ref,
         rec_ref, bk_scr, cpg=cpg, tc=tc, cull=cull, use_mxu=use_mxu,
-        anyhit=False, ids_ref=ids_ref, nact_ref=nact_ref,
+        anyhit=False, ids_ref=ids_ref, nact_ref=nact_ref, mask_ref=mask_ref,
     )
 
 
@@ -124,7 +128,7 @@ ENABLE_WORKLIST = True
 def _sweep_kernel_impl(
     f_ref, g_ref, rec_in, ab_ref, t_ref, i_ref, u_ref, v_ref, rec_out,
     bk_scr, *, cpg, tc, cull=True, use_mxu=True, anyhit=False,
-    ids_ref=None, nact_ref=None,
+    ids_ref=None, nact_ref=None, mask_ref=None,
 ):
     """One 4096-ray tile vs. one GROUP of ``cpg`` triangle chunks.
 
@@ -170,16 +174,22 @@ def _sweep_kernel_impl(
     # groups an XLA pre-pass (``_group_worklist``) proved some lane could
     # touch. Steps past nact_ref[tile] repeat the last active block index
     # (no DMA is issued for an unchanged index) and skip the body
-    # entirely. Measured on the axon backend: a fully-skipped plain grid
-    # step still costs ~30 us (bench_sweep.py group-skip case) — at 51k
-    # tris that fixed floor WAS the whole sweep cost.
+    # entirely. Measured on the axon backend (bench_sweep.py group-skip
+    # case, round-trip amortized): a fully-skipped plain grid step costs
+    # ~7.3 us vs ~2 us guarded — 5.8 -> 1.6 ms skip floor per 131k-ray
+    # sweep at 51k tris, and mesh GI +31%/+48% at 13k/51k tris.
     if ids_ref is not None:
         tile = pl.program_id(0)
         group_id = ids_ref[tile, g_id]
         run = g_id < nact_ref[tile]
+        # per-tile chunk bitmask (indexed by ORIGINAL group id): bit c set
+        # iff the pre-pass proved some lane of this tile can touch chunk c
+        # of the group — a scalar test replacing the 512-lane slab + any()
+        group_mask = mask_ref[tile, group_id]
     else:
         group_id = g_id
         run = None
+        group_mask = None
 
     @pl.when(g_id == 0)
     def _init():
@@ -212,17 +222,27 @@ def _sweep_kernel_impl(
         def chunk(c, carry):
             if not cull:
                 return _run_chunk(c, carry)
-            tmin, tmax = _row_slab(ab_ref, c, o_row, inv_row)
-            enter = jnp.maximum(tmin, 0.0)
-            bt_cur = carry[2]
-            cand = (
-                (tmax >= tmin) & (tmax > 0.0)
-                & (enter < bt_cur * np.float32(1.0 + 1e-5))
-                & (ab_ref[c, AB_VALID_COL] > 0.0)
-            )
-            return lax.cond(
-                jnp.any(cand), partial(_run_chunk, c), lambda cr: cr, carry
-            )
+
+            def decide(carry):
+                tmin, tmax = _row_slab(ab_ref, c, o_row, inv_row)
+                enter = jnp.maximum(tmin, 0.0)
+                bt_cur = carry[2]
+                cand = (
+                    (tmax >= tmin) & (tmax > 0.0)
+                    & (enter < bt_cur * np.float32(1.0 + 1e-5))
+                    & (ab_ref[c, AB_VALID_COL] > 0.0)
+                )
+                return lax.cond(
+                    jnp.any(cand), partial(_run_chunk, c), lambda cr: cr,
+                    carry,
+                )
+
+            if group_mask is None:
+                return decide(carry)
+            # scalar bit gate first: chunks the pre-pass rejected for the
+            # WHOLE tile skip even the per-row slab work
+            bit = (group_mask >> c) & jnp.int32(1)
+            return lax.cond(bit != 0, decide, lambda cr: cr, carry)
 
         def _run_chunk(c, carry):
             bk, bi, bt, bu, bv, brec = carry               # (1, 512) each
@@ -388,15 +408,20 @@ def _anyhit_kernel(*refs, cpg, tc, cull=True, worklist=False):
     including the worklist mode — here the pre-pass also prunes groups
     entirely beyond the lanes' t_max).
     """
-    ids_ref = nact_ref = None
+    ids_ref = nact_ref = mask_ref = None
     if worklist:
-        ids_ref, nact_ref, refs = refs[0], refs[1], refs[2:]
+        ids_ref, nact_ref, mask_ref, refs = (
+            refs[0], refs[1], refs[2], refs[3:]
+        )
     f_ref, g_ref, tm_ref, ab_ref, o_ref = refs
     g_id = pl.program_id(1)
     if ids_ref is not None:
-        run = g_id < nact_ref[pl.program_id(0)]
+        tile = pl.program_id(0)
+        run = g_id < nact_ref[tile]
+        group_mask = mask_ref[tile, ids_ref[tile, g_id]]
     else:
         run = None
+        group_mask = None
 
     @pl.when(g_id == 0)
     def _init():
@@ -416,16 +441,23 @@ def _anyhit_kernel(*refs, cpg, tc, cull=True, worklist=False):
         def chunk(c, acc):
             if not cull:
                 return _run_chunk(c, acc)
-            tmin, tmax = _row_slab(ab_ref, c, o_row, inv_row)
-            enter = jnp.maximum(tmin, 0.0)
-            cand = (
-                (tmax >= tmin) & (tmax > 0.0)
-                & (enter < tm * np.float32(1.0 + 1e-5)) & (acc == 0)
-                & (ab_ref[c, AB_VALID_COL] > 0.0)
-            )
-            return lax.cond(
-                jnp.any(cand), partial(_run_chunk, c), lambda a: a, acc
-            )
+
+            def decide(acc):
+                tmin, tmax = _row_slab(ab_ref, c, o_row, inv_row)
+                enter = jnp.maximum(tmin, 0.0)
+                cand = (
+                    (tmax >= tmin) & (tmax > 0.0)
+                    & (enter < tm * np.float32(1.0 + 1e-5)) & (acc == 0)
+                    & (ab_ref[c, AB_VALID_COL] > 0.0)
+                )
+                return lax.cond(
+                    jnp.any(cand), partial(_run_chunk, c), lambda a: a, acc
+                )
+
+            if group_mask is None:
+                return decide(acc)
+            bit = (group_mask >> c) & jnp.int32(1)
+            return lax.cond(bit != 0, decide, lambda a: a, acc)
 
         def _run_chunk(c, acc):
             g = g_ref[c]                                   # (4*tc, 10)
@@ -536,24 +568,24 @@ def occluded_triangles_pallas(
     )
     if worklist:
         # the shadow worklist also prunes groups entirely beyond t_max
-        ids, nact = _group_worklist(f, ab, n_tiles, cpg, n_groups,
+        ids, nact, masks = _group_worklist(f, ab, n_tiles, cpg, n_groups,
                                     tm=tm_flat)
         io_spec = pl.BlockSpec(
-            (RAY_ROWS, RAY_LANES), lambda i, g, ids, na: (i, 0),
+            (RAY_ROWS, RAY_LANES), lambda i, g, ids, na, mk: (i, 0),
             memory_space=pltpu.VMEM,
         )
         gs = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_tiles, n_groups),
             in_specs=[
-                pl.BlockSpec((10, RAY_TILE), lambda i, g, ids, na: (0, i),
+                pl.BlockSpec((10, RAY_TILE), lambda i, g, ids, na, mk: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((cpg, 4 * tc, 10),
-                             lambda i, g, ids, na: (ids[i, g], 0, 0),
+                             lambda i, g, ids, na, mk: (ids[i, g], 0, 0),
                              memory_space=pltpu.VMEM),
                 io_spec,
                 pl.BlockSpec((cpg, 8),
-                             lambda i, g, ids, na: (ids[i, g], 0),
+                             lambda i, g, ids, na, mk: (ids[i, g], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=io_spec,
@@ -561,7 +593,7 @@ def occluded_triangles_pallas(
         out = pl.pallas_call(
             kernel, grid_spec=gs, out_shape=out_shape,
             compiler_params=cp, interpret=interpret,
-        )(ids, nact, f, g_chunks, tm, ab)
+        )(ids, nact, masks, f, g_chunks, tm, ab)
         return out.reshape(-1)[:n] > 0
     io_spec = pl.BlockSpec(
         (RAY_ROWS, RAY_LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM
@@ -605,42 +637,58 @@ def _build_g_chunks(v0, e1, e2, valid, tc):
 
 
 def _group_worklist(f, ab, n_tiles, cpg, n_groups, tm=None):
-    """Per-tile active-group worklists for the streamed sweep grid.
+    """Per-tile active-group worklists + chunk bitmasks for the sweep grid.
 
-    XLA pre-pass over every (ray, group) pair: the same margin-padded slab
-    test the kernel's group gate runs (minus the running best-t prune,
-    which only the kernel knows), OR-reduced over each RAY_TILE-lane tile.
-    The 1e-4-relative AABB padding dwarfs any XLA-vs-Mosaic rounding
-    difference, so a group this pass rejects cannot contain a hit for any
-    lane of the tile — skipping it is bitwise-neutral.
+    XLA pre-pass over every (ray, CHUNK) pair: the same margin-padded slab
+    test the kernel's per-row chunk gate runs (minus the running best-t
+    prune, which only the kernel knows), OR-reduced over each
+    RAY_TILE-lane tile. The 1e-4-relative AABB padding dwarfs any
+    XLA-vs-Mosaic rounding difference, so a chunk this pass rejects cannot
+    contain a hit for any lane of the tile — skipping it is
+    bitwise-neutral. A group is active iff any of its chunks is.
 
-    Returns ``(ids, n_act)``: ids (n_tiles, n_groups) int32 — each tile's
-    candidate group ids in ascending order, padded by REPEATING the last
-    active id (an unchanged block index issues no DMA); n_act (n_tiles,)
-    int32. ``tm`` (n_rays_padded,) optionally prunes groups entirely
-    beyond a per-ray segment length (shadow sweeps).
+    Returns ``(ids, n_act, masks)``: ids (n_tiles, n_groups) int32 — each
+    tile's candidate group ids in ascending order, padded by REPEATING the
+    last active id (an unchanged block index issues no DMA); n_act
+    (n_tiles,) int32; masks (n_tiles, n_groups) int32 — bit c of
+    ``masks[tile, g]`` set iff chunk ``g*cpg + c`` is a candidate for some
+    lane of the tile (indexed by ORIGINAL group id, so the kernel reads
+    ``masks[tile, group_id]``). The in-kernel scalar bit test replaces a
+    512-lane slab + any() reduction per (row, chunk) — measured 0.34 us
+    each, two thirds of the sweep at high chunk-skip rates. ``tm``
+    (n_rays_padded,) optionally prunes chunks entirely beyond a per-ray
+    segment length (shadow sweeps).
     """
+    assert cpg <= 31, "chunk bitmask must fit a non-negative int32"
     n = f.shape[1]
-    abg = ab.reshape(n_groups, cpg, 8)
-    # invalid chunks carry an inverted +/-BIG box and drop out of the union
-    glo = jnp.min(abg[:, :, 0:3], axis=1)                    # (G, 3)
-    ghi = jnp.max(abg[:, :, 3:6], axis=1)
-    gvalid = jnp.max(abg[:, :, AB_VALID_COL], axis=1) > 0.0  # (G,)
+    n_chunks = n_groups * cpg
+    cvalid = ab[:, AB_VALID_COL] > 0.0                       # (C,)
     tiny = np.float32(1e-12)
-    tmin = jnp.full((n_groups, n), -_BIG)
-    tmax = jnp.full((n_groups, n), _BIG)
+    tmin = jnp.full((n_chunks, n), -_BIG)
+    tmax = jnp.full((n_chunks, n), _BIG)
     for k in range(3):
         d = f[3 + k]
         inv = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)    # (N,)
-        ta = (glo[:, k][:, None] - f[6 + k][None, :]) * inv[None, :]
-        tb = (ghi[:, k][:, None] - f[6 + k][None, :]) * inv[None, :]
+        ta = (ab[:, k][:, None] - f[6 + k][None, :]) * inv[None, :]
+        tb = (ab[:, k + 3][:, None] - f[6 + k][None, :]) * inv[None, :]
         tmin = jnp.maximum(tmin, jnp.minimum(ta, tb))
         tmax = jnp.minimum(tmax, jnp.maximum(ta, tb))
-    cand = (tmax >= tmin) & (tmax > 0.0) & gvalid[:, None]
+    cand = (tmax >= tmin) & (tmax > 0.0) & cvalid[:, None]
     if tm is not None:
         cand &= jnp.maximum(tmin, 0.0) < tm[None, :] * np.float32(1.0 + 1e-5)
-    active = jnp.any(cand.reshape(n_groups, n_tiles, RAY_TILE), axis=2)
-    active = active.T                                        # (n_tiles, G)
+    # (C, N) -> per-tile chunk candidacy (n_tiles, G, cpg)
+    cbits = jnp.any(cand.reshape(n_groups, cpg, n_tiles, RAY_TILE), axis=3)
+    cbits = cbits.transpose(2, 0, 1)
+    masks = jnp.sum(
+        jnp.where(
+            cbits,
+            (jnp.int32(1) << jnp.arange(cpg, dtype=jnp.int32))[None, None],
+            jnp.int32(0),
+        ),
+        axis=2,
+        dtype=jnp.int32,
+    )                                                        # (n_tiles, G)
+    active = masks != 0
     gi = jnp.arange(n_groups, dtype=jnp.int32)
     # active ids first (ascending), inactive after — stable by construction
     order = jnp.argsort(
@@ -653,7 +701,7 @@ def _group_worklist(f, ab, n_tiles, cpg, n_groups, tm=None):
     )
     pos = gi[None, :]
     ids = jnp.where(pos < n_act[:, None], order, last)
-    return ids, n_act
+    return ids, n_act, masks
 
 
 def _grouping(n_chunks):
@@ -747,23 +795,23 @@ def sweep_pallas(
         dimension_semantics=("parallel", "arbitrary")
     )
     if worklist:
-        ids, nact = _group_worklist(f, ab, n_tiles, cpg, n_groups)
+        ids, nact, masks = _group_worklist(f, ab, n_tiles, cpg, n_groups)
         gs = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_tiles, n_groups),
             in_specs=[
-                pl.BlockSpec((10, RAY_TILE), lambda i, g, ids, na: (0, i),
+                pl.BlockSpec((10, RAY_TILE), lambda i, g, ids, na, mk: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((cpg, 4 * tc, 10),
-                             lambda i, g, ids, na: (ids[i, g], 0, 0),
+                             lambda i, g, ids, na, mk: (ids[i, g], 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((cpg, 8),
-                             lambda i, g, ids, na: (ids[i, g], 0),
+                             lambda i, g, ids, na, mk: (ids[i, g], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((RAY_ROWS, RAY_LANES),
-                             lambda i, g, ids, na: (i, 0),
+                             lambda i, g, ids, na, mk: (i, 0),
                              memory_space=pltpu.VMEM)
             ] * 4,
             scratch_shapes=scratch,
@@ -771,7 +819,7 @@ def sweep_pallas(
         t, idx, u, v = pl.pallas_call(
             kernel, grid_spec=gs, out_shape=out_shapes,
             compiler_params=cp, interpret=interpret,
-        )(ids, nact, f, g_chunks, ab)
+        )(ids, nact, masks, f, g_chunks, ab)
         return t.reshape(-1), idx.reshape(-1), u.reshape(-1), v.reshape(-1)
     out_spec = pl.BlockSpec(
         (RAY_ROWS, RAY_LANES), lambda i, g: (i, 0), memory_space=pltpu.VMEM
@@ -851,30 +899,30 @@ def sweep_pallas_rec(
         dimension_semantics=("parallel", "arbitrary")
     )
     if worklist:
-        ids, nact = _group_worklist(f, ab, n_tiles, cpg, n_groups)
+        ids, nact, masks = _group_worklist(f, ab, n_tiles, cpg, n_groups)
         gs = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_tiles, n_groups),
             in_specs=[
-                pl.BlockSpec((10, RAY_TILE), lambda i, g, ids, na: (0, i),
+                pl.BlockSpec((10, RAY_TILE), lambda i, g, ids, na, mk: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((cpg, 4 * tc, 10),
-                             lambda i, g, ids, na: (ids[i, g], 0, 0),
+                             lambda i, g, ids, na, mk: (ids[i, g], 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((cpg, tc, 32),
-                             lambda i, g, ids, na: (ids[i, g], 0, 0),
+                             lambda i, g, ids, na, mk: (ids[i, g], 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((cpg, 8),
-                             lambda i, g, ids, na: (ids[i, g], 0),
+                             lambda i, g, ids, na, mk: (ids[i, g], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((RAY_ROWS, RAY_LANES),
-                             lambda i, g, ids, na: (i, 0),
+                             lambda i, g, ids, na, mk: (i, 0),
                              memory_space=pltpu.VMEM)
             ] * 4 + [
                 pl.BlockSpec((RAY_ROWS, 32, RAY_LANES),
-                             lambda i, g, ids, na: (i, 0, 0),
+                             lambda i, g, ids, na, mk: (i, 0, 0),
                              memory_space=pltpu.VMEM)
             ],
             scratch_shapes=scratch,
@@ -882,7 +930,7 @@ def sweep_pallas_rec(
         t, idx, u, v, rec = pl.pallas_call(
             kernel, grid_spec=gs, out_shape=out_shapes,
             compiler_params=cp, interpret=interpret,
-        )(ids, nact, f, g_chunks, rec_chunks, ab)
+        )(ids, nact, masks, f, g_chunks, rec_chunks, ab)
         return (
             t.reshape(-1), idx.reshape(-1), u.reshape(-1), v.reshape(-1),
             rec,
