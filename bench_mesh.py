@@ -22,6 +22,7 @@ SIZES = {
     "2k": (33, 30),      # ~1.9k tris — the sphere32.obj scale
     "13k": (82, 80),     # ~13k
     "51k": (161, 160),   # ~51k — well past anything the reference ships
+    "205k": (321, 320),  # ~205k — 100x the reference's largest mesh
 }
 
 
@@ -84,7 +85,7 @@ def bench_one(n_theta, n_phi, spp, w=256, h=192, fused="auto"):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", default="2k,13k,51k")
+    ap.add_argument("--sizes", default="2k,13k,51k,205k")
     ap.add_argument("--spp", type=int, default=8)
     args = ap.parse_args()
 
