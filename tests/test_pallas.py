@@ -214,3 +214,82 @@ def test_multigroup_streamed_sweep():
         rays, v0, e1, e2, valid, interpret=True
     )
     np.testing.assert_array_equal(hit, np.asarray(bi) >= 0)
+
+
+def test_multigroup_occluded_worklist_tmax_prune():
+    """The boolean occlusion sweep's worklist pre-pass also prunes groups
+    entirely beyond each ray's t_max segment (shadow rays). Multigroup
+    table + per-ray t_max + clustered geometry so pruning really engages;
+    must agree exactly with the XLA sweep's t-compare."""
+    from xraytracer_tpu.geometry.pallas_kernels import (
+        occluded_triangles_pallas,
+    )
+
+    rng = np.random.default_rng(21)
+    t_total = 70 * 128          # 70 chunks = 5 groups of 16
+    # two tight clusters far apart: groups around x=0 and x=+200
+    half = t_total // 2
+    v0 = rng.uniform(-4, 4, (t_total, 3)).astype(np.float32)
+    v0[half:, 0] += 200.0
+    e1 = rng.uniform(-1.0, 1.0, (t_total, 3)).astype(np.float32)
+    e2 = rng.uniform(-1.0, 1.0, (t_total, 3)).astype(np.float32)
+    valid = np.ones((t_total,), bool)
+    valid[-5:] = False
+    n = 900
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # half the rays get a t_max too short to ever reach the far cluster
+    t_max = np.where(
+        np.arange(n) % 2 == 0, 5.0, 500.0
+    ).astype(np.float32)
+    rays = Rays(o=jnp.asarray(o), d=jnp.asarray(d))
+    args = (jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+            jnp.asarray(valid))
+    tt, _, _, _ = intersect_triangles(rays, *args)
+    expected = np.asarray(tt) < t_max
+    got = np.asarray(
+        occluded_triangles_pallas(
+            rays, *args, jnp.asarray(t_max), interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, expected)
+    assert expected.any() and not expected.all()
+
+
+def test_multigroup_worklist_ragged_tiles_clustered():
+    """Worklist pre-pass with clustered geometry AND a ragged multi-tile ray
+    count: per-tile group lists differ (rays aimed at one cluster prune the
+    other's groups), padded lanes are zero-filled and must not leak. Parity
+    with the classic sweep stays exact on winner indices."""
+    rng = np.random.default_rng(22)
+    t_total = 70 * 128
+    half = t_total // 2
+    v0 = rng.uniform(-4, 4, (t_total, 3)).astype(np.float32)
+    v0[half:, 0] += 200.0
+    e1 = rng.uniform(-1.5, 1.5, (t_total, 3)).astype(np.float32)
+    e2 = rng.uniform(-1.5, 1.5, (t_total, 3)).astype(np.float32)
+    valid = np.ones((t_total,), bool)
+    n = RAY_TILE + 613          # 2 tiles, second mostly padding
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    # first tile aims at the near cluster, remainder at the far one
+    o[RAY_TILE:, 0] += 200.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays(o=jnp.asarray(o), d=jnp.asarray(d))
+    args = (jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+            jnp.asarray(valid))
+    ct, ci, cu, cv = intersect_triangles(rays, *args)
+    pt, pi, pu, pv = intersect_triangles_pallas(rays, *args, interpret=True)
+    assert pt.shape == (n,)
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(pi))
+    hit = np.asarray(ci) >= 0
+    assert hit.sum() > 200
+    # rays of BOTH clusters found hits (both worklist variants exercised)
+    assert hit[:RAY_TILE].any() and hit[RAY_TILE:].any()
+    # looser than the small-scene tests: the ~100-unit centered coordinates
+    # of the two-cluster layout amplify the expanded-bilinear formulation
+    # noise (winner INDICES above still match exactly)
+    np.testing.assert_allclose(
+        np.asarray(ct)[hit], np.asarray(pt)[hit], rtol=2e-3, atol=1e-4
+    )
