@@ -39,7 +39,10 @@ def _bench_gi_forward():
     from xraytracer_tpu.scene.presets import build_cornell_box, cornell_camera
 
     w, h = 780, 585
-    spp = 64
+    # 256 spp per timed render: a 64-spp call is ~280 ms, of which the
+    # tunnel's ~23 ms null round-trip is ~8% — the longer render measures
+    # sustained throughput (the declared metric), not dispatch latency
+    spp = 256
     tables = build_cornell_box().build()
     statics = scene_statics(tables)
     camera = PinholeCamera.make(w / h, **cornell_camera())
@@ -104,7 +107,8 @@ def _bench_vpt():
     integrate = make_volume_integrator(tables, statics, 10, nee=False)
     renderer = WavefrontRenderer(tables, camera, integrate, w, h, seed=0)
     renderer.render(1)
-    r = renderer.render(9)
+    # 45 spp ≈ 0.5 s per timed call — amortizes the ~23 ms round-trip
+    r = renderer.render(45)
     return r.samples_per_sec
 
 
