@@ -21,6 +21,13 @@ self-set target in BASELINE.json: primary-rays/s on the GI Cornell box
     (bench_mesh.py's largest point: 26x the reference's biggest shipped
     mesh), the streamed worklist-culled sweep path.
 Set XRT_BENCH_FAST=1 to skip the extras (primary metric only).
+
+Methodology stamps (round 4): every timed metric carries
+{value, spp, best_of, spread_pct} so workload changes are visible in the
+record, and GI/VPT additionally report a legacy_* point at the rounds-1/2
+spp settings (64 / 9) so the cross-round progression stays reconcilable
+(the round-3 spp raise amortized the ~23 ms tunnel round-trip and is NOT
+comparable to earlier rows — see BASELINE.md).
 """
 
 import json
@@ -54,7 +61,18 @@ def _bench_gi_forward():
     # variance, so a single timed render under-reports sustained throughput.
     renderer = WavefrontRenderer(tables, camera, integrate, w, h, seed=0)
     renderer.render(2)
-    return max(renderer.render(spp).samples_per_sec for _ in range(3))
+    runs = [renderer.render(spp).samples_per_sec for _ in range(3)]
+    # legacy same-workload point: rounds 1-2 timed 64-spp renders, where the
+    # ~23 ms tunnel round-trip is ~8% of the call — kept so the cross-round
+    # progression stays apples-to-apples (VERDICT r3 §weak-4)
+    legacy = max(renderer.render(64).samples_per_sec for _ in range(3))
+    return {
+        "value": max(runs),
+        "spp": spp,
+        "best_of": len(runs),
+        "spread_pct": round(100.0 * (max(runs) - min(runs)) / max(runs), 2),
+        "legacy_spp64_rays_per_s": legacy,
+    }
 
 
 def _bench_gi_fwd_bwd():
@@ -107,9 +125,18 @@ def _bench_vpt():
     integrate = make_volume_integrator(tables, statics, 10, nee=False)
     renderer = WavefrontRenderer(tables, camera, integrate, w, h, seed=0)
     renderer.render(1)
-    # 45 spp ≈ 0.5 s per timed call — amortizes the ~23 ms round-trip
-    r = renderer.render(45)
-    return r.samples_per_sec
+    # 45 spp ≈ 0.5 s per timed call — amortizes the ~23 ms round-trip.
+    # The 9-spp legacy point (rounds 1-2 methodology, round-trip-dominated)
+    # is kept so cross-round VPT numbers stay reconcilable.
+    runs = [renderer.render(45).samples_per_sec for _ in range(3)]
+    legacy = max(renderer.render(9).samples_per_sec for _ in range(3))
+    return {
+        "value": max(runs),
+        "spp": 45,
+        "best_of": len(runs),
+        "spread_pct": round(100.0 * (max(runs) - min(runs)) / max(runs), 2),
+        "legacy_spp9_rays_per_s": legacy,
+    }
 
 
 def _bench_het_tracking():
@@ -173,14 +200,27 @@ def _bench_het_nee():
     )
     renderer = WavefrontRenderer(tables, camera, integrate, w, h, seed=0)
     renderer.render(1)
-    return renderer.render(8).seconds / 8 * 1e3
+    runs = [renderer.render(8).seconds / 8 * 1e3 for _ in range(2)]
+    return {
+        "value": min(runs),
+        "spp": 8,
+        "best_of": len(runs),
+        "spread_pct": round(100.0 * (max(runs) - min(runs)) / max(runs), 2),
+    }
 
 
 def _bench_mesh_51k():
     import bench_mesh
 
     n_theta, n_phi = bench_mesh.SIZES["51k"]
-    return bench_mesh.bench_one(n_theta, n_phi, spp=4)["rays_per_s"]
+    runs = [bench_mesh.bench_one(n_theta, n_phi, spp=4)["rays_per_s"]
+            for _ in range(2)]
+    return {
+        "value": max(runs),
+        "spp": 4,
+        "best_of": len(runs),
+        "spread_pct": round(100.0 * (max(runs) - min(runs)) / max(runs), 2),
+    }
 
 
 def _arm_watchdog():
@@ -230,8 +270,9 @@ def main():
     except Exception:
         pass
 
-    rays_per_s = _bench_gi_forward()
-    extra = {}
+    gi = _bench_gi_forward()
+    rays_per_s = gi.pop("value")
+    extra = {"gi_methodology": gi}
     if not os.environ.get("XRT_BENCH_FAST"):
         # fault-isolated: a failing extra must never lose the primary metric
         for name, fn in (

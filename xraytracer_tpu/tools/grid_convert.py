@@ -29,7 +29,12 @@ def convert_vdb(path, grid_name="density"):
     from . import vdb as xvdb
 
     try:
-        return xvdb.read_vdb(path, grid_name).dense
+        dense = xvdb.read_vdb(path, grid_name).dense
+        # Which codec handled the file matters for triage: the pure-python
+        # codec has never been validated against a real OpenVDB-written file
+        # (see tools/vdb.py docstring caveat), so name it in the output.
+        print("[grid_convert] codec: built-in pure-python vdb reader")
+        return dense
     except Exception as native_err:
         # Malformed/exotic files can surface as zlib.error, struct.error,
         # ValueError, ... — not only VdbError; any parse failure should fall
@@ -43,6 +48,8 @@ def convert_vdb(path, grid_name="density"):
                 "installed to fall back on — re-save the grid with a modern "
                 "OpenVDB or convert offline to .npy."
             )
+        print("[grid_convert] codec: pyopenvdb fallback "
+              f"(built-in reader failed: {native_err})")
         grid = vdb.read(path, grid_name)
         bbox = grid.evalActiveVoxelBoundingBox()
         lo, hi = np.asarray(bbox[0]), np.asarray(bbox[1])

@@ -34,6 +34,17 @@ only for versions 220-221, hyphenated 36-char uuid).
 The writer exists both for those tests and as a real feature: it exports any
 dense grid to a ``.vdb`` the reference itself can load — the reverse of the
 reference's NanoVDBConvert tool (Src/examples/nanovdb_convert.cpp:8-38).
+
+CAVEAT (unresolved, round 4): **no file written by the real OpenVDB library
+has ever been decoded by this codec** — none exists in this offline
+environment and the image has no network egress to fetch one. Reader and
+writer are decoupled by the hand-built byte fixtures, but a misconception
+shared between the codec and the fixture builder (same author, same
+documentation sources) would pass both. The moment a genuine
+OpenVDB-written ``.vdb`` is obtainable, decode it against ``pyopenvdb``
+output and delete this paragraph. ``tools/grid_convert.py`` reports which
+codec path (pure-python vs pyopenvdb fallback) handled each input so field
+failures are attributable.
 """
 
 import ctypes
