@@ -76,3 +76,37 @@ def test_fused_het_path_parity(scene, wavefront, nee):
     lit_frac = (ref.sum(axis=1) > 0).mean()
     assert ref.max() > 1.0
     assert lit_frac > (0.05 if nee else 0.0)
+
+
+def test_persistent_spp_kernel_bitwise_equal(scene):
+    """The persistent-lane merged spp+path loop
+    (megakernel._mega_spp_persistent_kernel) vs the per-sample spp kernel:
+    every draw is a pure function of (pixel, sample, site) and each lane
+    accumulates its own samples in ascending order, so lane scheduling
+    changes nothing beyond compiler FMA-contraction (the two programs
+    compile separately; XLA may contract a*b+c differently — 1-ulp scale,
+    see the vol A/B test). Reject counts are integer-exact."""
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators.het_megakernel import (
+        try_make_fused_het_spp_render,
+    )
+    from xraytracer_tpu.math import from_rows
+
+    tables, statics = scene
+    W, H = 16, 8
+    c2w = from_rows(1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0,
+                    0, 70.0, 550.0, 1)
+    cam = PinholeCamera.make(W / H, c2w=c2w, fov_deg=60.0)
+    common = dict(max_depth=4, nee=True, max_steps=24, interpret=True,
+                  force=True)
+    per_sample = try_make_fused_het_spp_render(
+        tables, statics, cam, W, H, 0, persistent=False, **common)
+    persistent = try_make_fused_het_spp_render(
+        tables, statics, cam, W, H, 0, persistent=True, **common)
+    ra, na = per_sample(0, 3)
+    rb, nb = persistent(0, 3)
+    np.testing.assert_allclose(
+        np.asarray(ra), np.asarray(rb), rtol=1e-6, atol=1e-7
+    )
+    assert int(na) == int(nb)
+    assert float(np.abs(np.asarray(ra)).sum()) > 0.0

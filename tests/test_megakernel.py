@@ -364,3 +364,36 @@ def test_occluded_bool_kernel_matches_xla():
         occluded_triangles_pallas(rays, *args, t_max, interpret=True)
     )
     np.testing.assert_array_equal(got, expected)
+
+
+def test_fused_volume_persistent_bitwise():
+    """Persistent-lane merged spp+path loop vs the per-sample spp kernel
+    (megakernel._mega_spp_persistent_kernel): identical draws and
+    per-lane accumulation order, so results agree to within compiler
+    FMA-contraction differences (the two programs compile separately;
+    XLA may contract a*b+c in one and not the other — observed 1-ulp on
+    ~4% of pixels). The reject count is integer and must match exactly."""
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators.vol_megakernel import (
+        try_make_fused_volume_spp_render,
+    )
+    from xraytracer_tpu.scene.presets import preset_vpt
+
+    tables, cam_kwargs, _cfg = preset_vpt()
+    statics = scene_statics(tables)
+    w, h = 32, 32
+    camera = PinholeCamera.make(w / h, **cam_kwargs)
+    kw = dict(max_depth=4, nee=True, interpret=True, force=True)
+    per_sample = try_make_fused_volume_spp_render(
+        tables, statics, camera, w, h, seed=2, persistent=False, **kw
+    )
+    persistent = try_make_fused_volume_spp_render(
+        tables, statics, camera, w, h, seed=2, persistent=True, **kw
+    )
+    ra, na = per_sample(0, 3)
+    rb, nb = persistent(0, 3)
+    np.testing.assert_allclose(
+        np.asarray(ra), np.asarray(rb), rtol=1e-6, atol=1e-7
+    )
+    assert int(na) == int(nb)
+    assert float(np.abs(np.asarray(ra)).sum()) > 0.0

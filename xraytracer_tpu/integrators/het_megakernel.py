@@ -192,16 +192,21 @@ def _cone_sample(mp3, light, lu, lv):
     return (dx_ / ts, dy_ / ts, dz_ / ts), t_max, pdf, front
 
 
-def _het_trace_body(
-    ox, oy, oz, dx, dy, dz, key, bricks_ref, sg_ref, *,
-    cmed, spheres, box, lights, n_iterations, max_depth, nee, max_steps,
+def _make_het_iteration(
+    bricks_ref, sg_ref, *,
+    cmed, spheres, box, lights, max_depth, nee, max_steps,
     site_pick, site_light, site_tr, g_hg,
 ):
-    """Whole heterogeneous volume path for one (8, 512) tile
-    (integrators/volume.py iteration semantics, line for line)."""
-    shp = ox.shape
+    """One path-loop iteration over (8, 512) planes, shared by the
+    whole-path wavefront body (``_het_trace_body``, scalar ``it``) and the
+    persistent-lane spp kernel (per-lane ``it`` plane — RNG sites are pure
+    functions of (key, it), so a plane `it` gives every lane its own path
+    step while the tile executes one shared body).
+
+    Carry: (it, key, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz, dx, dy, dz,
+    depth, act). Inactive lanes (act == 0) flow through unchanged — every
+    state update is masked on ``active``."""
     pcoords = _payload_coords()
-    zero = jnp.zeros(shp, jnp.float32)
 
     def hg_cos(u):
         if abs(float(g_hg)) < 1e-3:
@@ -214,8 +219,10 @@ def _het_trace_body(
         return _INV_4PI * (1.0 - g_hg * g_hg) / (denom * jnp.sqrt(denom))
 
     def iteration(carry):
-        (it, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz, dx, dy, dz, depth,
-         act) = carry
+        (it, key, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz, dx, dy, dz,
+         depth, act) = carry
+        shp = ox.shape
+        zero = jnp.zeros(shp, jnp.float32)
         o3 = (ox, oy, oz)
         d3 = (dx, dy, dz)
         site = it * np.int32(SITES_PER_BOUNCE)
@@ -347,20 +354,38 @@ def _het_trace_body(
         trb = jnp.where(has_med, trb * w[2], trb)
         depth = depth + scattered.astype(jnp.int32)
         active = active & has_med & ((trr > 0.0) | (trg > 0.0) | (trb > 0.0))
-        return (it + 1, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz,
+        return (it + 1, key, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz,
                 dx, dy, dz, depth, active.astype(jnp.int32))
 
+    return iteration
+
+
+def _het_trace_body(
+    ox, oy, oz, dx, dy, dz, key, bricks_ref, sg_ref, *,
+    cmed, spheres, box, lights, n_iterations, max_depth, nee, max_steps,
+    site_pick, site_light, site_tr, g_hg,
+):
+    """Whole heterogeneous volume path for one (8, 512) tile
+    (integrators/volume.py iteration semantics, line for line)."""
+    shp = ox.shape
+    zero = jnp.zeros(shp, jnp.float32)
+    iteration = _make_het_iteration(
+        bricks_ref, sg_ref, cmed=cmed, spheres=spheres, box=box,
+        lights=lights, max_depth=max_depth, nee=nee, max_steps=max_steps,
+        site_pick=site_pick, site_light=site_light, site_tr=site_tr,
+        g_hg=g_hg,
+    )
     init = (
-        jnp.int32(0), zero, zero, zero,
+        jnp.int32(0), key, zero, zero, zero,
         jnp.ones(shp), jnp.ones(shp), jnp.ones(shp),
         ox, oy, oz, dx, dy, dz,
         jnp.zeros(shp, jnp.int32), jnp.ones(shp, jnp.int32),
     )
     out = lax.while_loop(
-        lambda c: (c[0] < n_iterations) & (jnp.sum(c[14]) > 0),
+        lambda c: (c[0] < n_iterations) & (jnp.sum(c[15]) > 0),
         iteration, init,
     )
-    return out[1], out[2], out[3]
+    return out[2], out[3], out[4]
 
 
 def _eligible_het(scene, statics, max_depth):
@@ -518,10 +543,16 @@ def try_make_fused_het_path_integrator(
 def try_make_fused_het_spp_render(
     scene, statics, camera, width, height, seed, max_depth, nee=False,
     max_steps=None, n_iterations=None, interpret=False, force=False,
-    mesh=None, mesh_axis="d", pixel_order="raster",
+    mesh=None, mesh_axis="d", pixel_order="raster", persistent=True,
 ):
-    """Whole-render fused heterogeneous path: in-kernel spp loop around
-    ``_het_trace_body`` (megakernel.make_spp_render plumbing)."""
+    """Whole-render fused heterogeneous path (megakernel.make_spp_render
+    plumbing). ``persistent=True`` (default) merges the spp loop into the
+    path loop (persistent lanes, ``_mega_spp_persistent_kernel``):
+    draw-for-draw identical images (1-ulp FMA-contraction differences
+    only), ~2x+ on the high-divergence nee/volume workloads because a
+    dead lane starts its next sample instead of idling out the tile's
+    worst lane. ``persistent=False`` keeps the per-sample
+    ``_het_trace_body`` loop (A/B tests, debugging)."""
     from ..camera import PinholeCamera
 
     if not force:
@@ -544,8 +575,16 @@ def try_make_fused_het_spp_render(
         pl.BlockSpec(sg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     trace = partial(_het_trace_body, **consts)
+    persist = None
+    if persistent:
+        iter_kwargs = {k: v for k, v in consts.items()
+                       if k != "n_iterations"}
+        persist = (
+            partial(_make_het_iteration, **iter_kwargs),
+            int(consts["n_iterations"]),
+        )
     return make_spp_render(
         trace, (bricks, sg), table_specs, camera, width, height, seed,
         interpret=interpret, mesh=mesh, mesh_axis=mesh_axis,
-        pixel_order=pixel_order,
+        pixel_order=pixel_order, persistent=persist,
     )

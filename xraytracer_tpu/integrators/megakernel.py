@@ -46,6 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import K_EPS, PI_INV, SHADOW_BIAS
+# validity column of the chunk-AABB table (see geometry/pallas_kernels)
+from ..geometry.pallas_kernels import AB_VALID_COL
 from ..sampling import SITES_PER_BOUNCE
 
 RAY_LANES = 512
@@ -61,8 +63,6 @@ SWEEP_GROUP = 2
 _INF_KEY = np.int32(0x7F800000)
 _IDX_MASK = np.int32(0x7F)
 _BIG = np.float32(3.0e38)
-# validity column of the chunk-AABB table (see geometry/pallas_kernels)
-from ..geometry.pallas_kernels import AB_VALID_COL  # noqa: E402
 
 # PCG constants (must match sampling/rng.py bit for bit)
 _GOLDEN = np.uint32(0x9E3779B9)
@@ -776,6 +776,140 @@ def _mega_spp_kernel(
     rej_ref[...] = rej
 
 
+def _mega_spp_persistent_kernel(
+    srange_ref, pixfold_ref, px_ref, py_ref, *refs, cam, cam_site,
+    make_iteration, n_iterations,
+):
+    """Persistent-lane whole-RENDER kernel: the spp loop and the path loop
+    MERGE into one while_loop — a lane whose path dies immediately starts
+    its next sample instead of idling until the tile's worst lane finishes.
+
+    Why: high-divergence integrators (heterogeneous volumes at depth 32+)
+    have mean path length ~1.6 iterations but tile worst-lane length ~19
+    (measured, nee workload) — the per-sample kernel pays
+    spp * worst_lane_per_sample tile passes, this one pays
+    ~worst_lane(sum over its spp samples), amortizing the tail across
+    samples (persistent-threads scheduling, on lanes instead of threads).
+
+    Draw-for-draw identical to ``_mega_spp_kernel``: every draw is a pure
+    function of (pixfold, sample, site) and each lane accumulates its own
+    samples in ascending order, so neither the sampled values nor the
+    addition order change. The only observable difference is compiler
+    FMA-contraction between the two separately-compiled programs (1-ulp
+    scale) — gated by the persistent A/B tests (allclose 1e-6, integer
+    reject counts exact).
+
+    ``make_iteration(*table_refs)`` returns ``iteration(carry)`` over the
+    shared 16-tuple carry (it, key, rr, rg, rb, trr, trg, trb, ox, oy, oz,
+    dx, dy, dz, depth, act) with per-lane ``it`` (RNG sites derive from it,
+    so a plane `it` lets lanes sit at different path steps); a path ends
+    when ``act`` drops or ``it`` reaches ``n_iterations``.
+    """
+    table_refs = refs[:-4]
+    accr_ref, accg_ref, accb_ref, rej_ref = refs[-4:]
+    pixfold = pixfold_ref[...]
+    px = px_ref[...]
+    py = py_ref[...]
+    shp = px.shape
+    s0 = srange_ref[0]
+    n_spp = srange_ref[1]
+    m = cam["m"]
+    inf = np.float32(np.inf)
+    iteration = make_iteration(*table_refs)
+
+    def cam_init(s):
+        """(key, o3, d3) for each lane's sample ``s`` (plane) — same stream
+        as ``_mega_spp_kernel.body``."""
+        key = _pcg(pixfold + (s0 + s).astype(jnp.uint32))
+        x1 = _pcg(key + cam_site)
+        x2 = _pcg(x1)
+        uvx = (px + _tof(x1)) * cam["inv_w"]
+        uvy = (py + _tof(x2)) * cam["inv_h"]
+        nx = (2.0 * uvx - 1.0) * cam["scale"]
+        ny = (1.0 - 2.0 * uvy) * cam["scale_over_aspect"]
+        dxw = nx * m[0][0] + ny * m[1][0] - m[2][0]
+        dyw = nx * m[0][1] + ny * m[1][1] - m[2][1]
+        dzw = nx * m[0][2] + ny * m[1][2] - m[2][2]
+        inv = 1.0 / jnp.sqrt(dxw * dxw + dyw * dyw + dzw * dzw)
+        return (
+            key,
+            jnp.full(shp, cam["o"][0]),
+            jnp.full(shp, cam["o"][1]),
+            jnp.full(shp, cam["o"][2]),
+            dxw * inv, dyw * inv, dzw * inv,
+        )
+
+    def body(state):
+        (guard, s, accr, accg, accb, rej, it, key, rr_, rg_, rb_,
+         trr, trg, trb, ox, oy, oz, dx, dy, dz, depth, act) = state
+        # splice fresh samples into idle lanes
+        need = (act == 0) & (s < n_spp)
+        k2, o2x, o2y, o2z, d2x, d2y, d2z = cam_init(s)
+        key = jnp.where(need, k2, key)
+        ox = jnp.where(need, o2x, ox)
+        oy = jnp.where(need, o2y, oy)
+        oz = jnp.where(need, o2z, oz)
+        dx = jnp.where(need, d2x, dx)
+        dy = jnp.where(need, d2y, dy)
+        dz = jnp.where(need, d2z, dz)
+        it = jnp.where(need, 0, it)
+        depth = jnp.where(need, 0, depth)
+        rr_ = jnp.where(need, 0.0, rr_)
+        rg_ = jnp.where(need, 0.0, rg_)
+        rb_ = jnp.where(need, 0.0, rb_)
+        trr = jnp.where(need, 1.0, trr)
+        trg = jnp.where(need, 1.0, trg)
+        trb = jnp.where(need, 1.0, trb)
+        act = jnp.where(need, 1, act)
+        started = act > 0
+        (it, key, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz, dx, dy, dz,
+         depth, act) = iteration(
+            (it, key, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz,
+             dx, dy, dz, depth, act)
+        )
+        # finalize ended paths (renderer.py NaN/Inf/negative rejection)
+        ended = started & ((act == 0) | (it >= n_iterations))
+        act = jnp.where(ended, 0, act)
+        ok = ((rr_ >= 0.0) & (rr_ < inf) & (rg_ >= 0.0) & (rg_ < inf)
+              & (rb_ >= 0.0) & (rb_ < inf))
+        fin = ended & ok
+        accr = accr + jnp.where(fin, rr_, 0.0)
+        accg = accg + jnp.where(fin, rg_, 0.0)
+        accb = accb + jnp.where(fin, rb_, 0.0)
+        rej = rej + jnp.where(ended & ~ok, 1, 0).astype(jnp.int32)
+        s = s + ended.astype(jnp.int32)
+        return (guard + 1, s, accr, accg, accb, rej, it, key, rr_, rg_,
+                rb_, trr, trg, trb, ox, oy, oz, dx, dy, dz, depth, act)
+
+    def cond(state):
+        guard, s = state[0], state[1]
+        act = state[21]
+        busy = jnp.sum(jnp.where((s < n_spp) | (act > 0), 1, 0)) > 0
+        return busy & (guard < n_spp * (np.int32(n_iterations) + 1) + 1)
+
+    # Init planes must NOT be splat constants: Mosaic infers while-carry
+    # layouts from the init values, and splat inits pin carried planes to
+    # a replicated layout the body's concrete vectors cannot be relayouted
+    # back into ("Invalid relayout ... replicated in destination but not
+    # in source"). Deriving the zeros from a LOADED ref gives them a
+    # concrete vector layout. (Unrolling one body() application instead
+    # duplicates the whole body's temporaries on the Mosaic stack —
+    # measured 19.5 MB > the 16 MB scoped-VMEM limit.)
+    z = px * 0.0
+    iz = z.astype(jnp.int32)
+    ku = pixfold & np.uint32(0)
+    init = (
+        jnp.int32(0), iz, z, z, z, iz,
+        iz, ku, z, z, z, z, z, z,
+        z, z, z, z, z, z, iz, iz,
+    )
+    out = lax.while_loop(cond, body, init)
+    accr_ref[...] = out[2]
+    accg_ref[...] = out[3]
+    accb_ref[...] = out[4]
+    rej_ref[...] = out[5]
+
+
 def try_make_fused_spp_render(
     scene, statics, camera, width, height, seed, max_depth, nee=True,
     le_depth0_only=None, cosine_sampling=False, interpret=False, force=False,
@@ -812,7 +946,7 @@ def try_make_fused_spp_render(
 
 def make_spp_render(
     trace, tables, table_specs, camera, width, height, seed, interpret=False,
-    mesh=None, mesh_axis="d", pixel_order="raster",
+    mesh=None, mesh_axis="d", pixel_order="raster", persistent=None,
 ):
     """Assemble ``render_chunk(s0, n_spp)`` around any whole-path trace body
     (surface or volume): bakes camera constants, precomputes the per-pixel
@@ -879,10 +1013,21 @@ def make_spp_render(
 
     pixfold_l, px_l, py_l = lane(pixfold), lane(pxy[0]), lane(pxy[1])
 
-    kernel = partial(
-        _mega_spp_kernel, cam=cam,
-        cam_site=_site_const(CAMERA_SITE), trace=trace,
-    )
+    if persistent is not None:
+        # (make_iteration, n_iterations): merged spp+path loop — see
+        # _mega_spp_persistent_kernel (bitwise-equal, amortizes lane
+        # divergence across samples)
+        make_iteration, n_iterations = persistent
+        kernel = partial(
+            _mega_spp_persistent_kernel, cam=cam,
+            cam_site=_site_const(CAMERA_SITE),
+            make_iteration=make_iteration, n_iterations=n_iterations,
+        )
+    else:
+        kernel = partial(
+            _mega_spp_kernel, cam=cam,
+            cam_site=_site_const(CAMERA_SITE), trace=trace,
+        )
     io_spec = pl.BlockSpec(
         (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )

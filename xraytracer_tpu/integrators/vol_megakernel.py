@@ -146,19 +146,20 @@ def _intersect_baked(ox, oy, oz, dx, dy, dz, tris, box):
     )
 
 
-def _vol_trace_body(
-    ox, oy, oz, dx, dy, dz, key, *,
-    tris, box, lights, n_iterations, max_depth, nee,
-    nee_pick_site, nee_light_site,
+def _make_vol_iteration(
+    *, tris, box, lights, max_depth, nee, nee_pick_site, nee_light_site,
 ):
-    """Whole-path homogeneous volume trace for one (8, 512) tile.
+    """One homogeneous-volume path iteration over (8, 512) planes, shared
+    by the whole-path body (``_vol_trace_body``, scalar ``it``) and the
+    persistent-lane spp kernel (per-lane ``it`` plane). Carry: the
+    standard 16-tuple (it, key, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz,
+    dx, dy, dz, depth, act); inactive lanes flow through unchanged.
 
     Iteration semantics mirror integrators/volume.py line for line: kill on
     depth==max_depth / miss, RR (depth>0), one-sided emitter Le (depth 0
     only under NEE), closed-form medium sample, NEE at the scatter vertex,
     advance; depth++ only on a real in-scatter.
     """
-    shp = ox.shape
     med = box["med"]
     variant = med["mtype"]              # static int
     g_hg = np.float32(med["g"])
@@ -172,9 +173,6 @@ def _vol_trace_body(
     inv_4pi = np.float32(1.0 / (4.0 * PI))
     tiny = np.float32(1e-38)
 
-    zero = jnp.zeros(shp, jnp.float32)
-    one = jnp.ones(shp, jnp.float32)
-
     def hg_cos(u):
         """warps.hg_sample_cos_theta with the |g| < 1e-3 branch resolved
         STATICALLY (g is baked)."""
@@ -187,9 +185,12 @@ def _vol_trace_body(
         denom = 1.0 + g_hg * g_hg - 2.0 * g_hg * cos_t
         return inv_4pi * (1.0 - g_hg * g_hg) / (denom * jnp.sqrt(denom))
 
-    def iteration(it, carry):
-        (rr_, rg_, rb_, trr, trg, trb, ox, oy, oz, dx, dy, dz, depth,
-         act) = carry
+    def iteration(carry):
+        (it, key, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz, dx, dy, dz,
+         depth, act) = carry
+        shp = ox.shape
+        zero = jnp.zeros(shp, jnp.float32)
+        one = jnp.ones(shp, jnp.float32)
         active = act > 0
         site = (it * np.int32(SITES_PER_BOUNCE)).astype(jnp.uint32)
 
@@ -398,13 +399,36 @@ def _vol_trace_body(
         trb = jnp.where(hm, trb * wb, trb)
         depth = depth + scattered.astype(jnp.int32)
         active = active & hm & ((trr > 0.0) | (trg > 0.0) | (trb > 0.0))
-        return (rr_, rg_, rb_, trr, trg, trb, ox, oy, oz, dx, dy, dz,
-                depth, active.astype(jnp.int32))
+        return (it + 1, key, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz,
+                dx, dy, dz, depth, active.astype(jnp.int32))
 
-    init = (zero, zero, zero, one, one, one, ox, oy, oz, dx, dy, dz,
+    return iteration
+
+
+def _vol_trace_body(
+    ox, oy, oz, dx, dy, dz, key, *,
+    tris, box, lights, n_iterations, max_depth, nee,
+    nee_pick_site, nee_light_site,
+):
+    """Whole-path homogeneous volume trace for one (8, 512) tile (see
+    ``_make_vol_iteration`` for the per-iteration semantics)."""
+    shp = ox.shape
+    zero = jnp.zeros(shp, jnp.float32)
+    one = jnp.ones(shp, jnp.float32)
+    iteration = _make_vol_iteration(
+        tris=tris, box=box, lights=lights, max_depth=max_depth, nee=nee,
+        nee_pick_site=nee_pick_site, nee_light_site=nee_light_site,
+    )
+    init = (jnp.int32(0), key, zero, zero, zero, one, one, one,
+            ox, oy, oz, dx, dy, dz,
             jnp.zeros(shp, jnp.int32), jnp.ones(shp, jnp.int32))
-    out = lax.fori_loop(0, n_iterations, iteration, init)
-    return out[0], out[1], out[2]
+    # while_loop with a tile-uniform early exit (the fori ran all
+    # n_iterations unconditionally even with every lane dead)
+    out = lax.while_loop(
+        lambda c: (c[0] < n_iterations) & (jnp.sum(c[15]) > 0),
+        iteration, init,
+    )
+    return out[2], out[3], out[4]
 
 
 def _eligible_volume(scene, statics, max_depth):
@@ -571,10 +595,14 @@ def try_make_fused_volume_integrator(
 def try_make_fused_volume_spp_render(
     scene, statics, camera, width, height, seed, max_depth, nee=False,
     max_steps=None, n_iterations=None, interpret=False, force=False,
-    mesh=None, mesh_axis="d", pixel_order="raster",
+    mesh=None, mesh_axis="d", pixel_order="raster", persistent=True,
 ):
-    """Whole-render fused volume path: in-kernel spp loop around
-    ``_vol_trace_body`` (see megakernel.make_spp_render)."""
+    """Whole-render fused volume path (see megakernel.make_spp_render).
+    ``persistent=True`` (default) merges the spp loop into the path loop
+    (``_mega_spp_persistent_kernel``): draw-for-draw identical images
+    (1-ulp FMA-contraction differences only), big wins on deep configs
+    (the ``volume`` preset runs depth 100 = 202-iteration paths whose
+    tile tail the per-sample kernel pays per spp)."""
     from ..camera import PinholeCamera
 
     if not force:
@@ -590,7 +618,16 @@ def try_make_fused_volume_spp_render(
     if consts is None:
         return None
     trace = partial(_vol_trace_body, **consts)
+    persist = None
+    if persistent:
+        iter_kwargs = {k: v for k, v in consts.items()
+                       if k != "n_iterations"}
+        persist = (
+            lambda: _make_vol_iteration(**iter_kwargs),
+            int(consts["n_iterations"]),
+        )
     return make_spp_render(
         trace, (), (), camera, width, height, seed, interpret=interpret,
         mesh=mesh, mesh_axis=mesh_axis, pixel_order=pixel_order,
+        persistent=persist,
     )

@@ -273,8 +273,16 @@ def _density_rows(p3, bricks_ref, pcoords, c):
 
 
 def _super_rows(b3, sg_ref, c):
-    """Supergrid block max for (8,512) int32 block coords: per-row masked
-    reduce over the (NSG, 1) column (exact pick, no gather)."""
+    """Supergrid block max for (8,512) int32 block coords: per-row one-hot
+    MXU matmul against the (NSG, 1) column (exact pick, no gather).
+
+    Exactness: the column holds block maxima of the bf16-rounded field —
+    every value is bf16-representable, and one-hot entries are exact in
+    bf16, so the default-precision matmul reproduces the selected value
+    bit-for-bit (same argument as the brick extraction above). The matmul
+    replaces a (NSG, 512) masked VPU reduce per row — the DDA runs
+    _DDA_SEGMENTS of these per tracking call, and the reduce was most of
+    its cost (round-4 ablation: dda8 saved 2.3 ms of the 39.8 ms nee spp)."""
     bx, by, bz = b3
     _, nby, nbz = c["sg_nb"]
     bflat = (bx * np.int32(nby) + by) * np.int32(nbz) + bz
@@ -284,9 +292,13 @@ def _super_rows(b3, sg_ref, c):
         bf = bflat[r:r + 1, :]
         oh = (
             lax.broadcasted_iota(jnp.int32, (nsg_rows, RAY_LANES), 0) == bf
-        )
+        ).astype(jnp.float32)
         rows.append(
-            jnp.sum(jnp.where(oh, sg_ref[...], 0.0), axis=0, keepdims=True)
+            lax.dot_general(
+                sg_ref[...], oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (1, 512)
         )
     return jnp.concatenate(rows, axis=0)
 
