@@ -397,3 +397,60 @@ def test_fused_volume_persistent_bitwise():
     )
     assert int(na) == int(nb)
     assert float(np.abs(np.asarray(ra)).sum()) > 0.0
+
+
+def _many_light_scene(n_side=8):
+    """Cornell-like room with an n_side^2 grid of small ceiling quad lights
+    of skewed powers — the many-light workload (beyond the reference's
+    uniform pick over <= 2 lights, Src/scene.cpp:182-188)."""
+    from xraytracer_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    white = b.add_lambert((0.7, 0.7, 0.7))
+    quads = []
+    # floor / back wall / ceiling slab (two tris each)
+    for v0, v1, v2, v3 in (
+        ((0, 0, 0), (556, 0, 0), (556, 0, 559), (0, 0, 559)),
+        ((0, 0, 559), (556, 0, 559), (556, 548, 559), (0, 548, 559)),
+        ((0, 548, 0), (556, 548, 0), (556, 548, 559), (0, 548, 559)),
+    ):
+        quads.append(
+            np.asarray([[v0, v1, v2], [v0, v2, v3]], np.float32)
+        )
+    b.add_mesh(np.concatenate(quads, axis=0), material=white)
+    rng = np.random.default_rng(11)
+    for i in range(n_side):
+        for j in range(n_side):
+            x0 = 40.0 + i * 60.0
+            z0 = 40.0 + j * 60.0
+            power = float(rng.uniform(0.5, 40.0))
+            b.add_quad_light(
+                (x0, 547.0, z0), (x0 + 30.0, 547.0, z0),
+                (x0, 547.0, z0 + 30.0), (power,) * 3,
+            )
+    tables = b.build()
+    return tables, scene_statics(tables)
+
+
+@pytest.mark.parametrize("nee_mode", ["one", "power"])
+def test_fused_many_lights_matches_wavefront(nee_mode):
+    """64-light NEE through the fused kernel's single-sweep one/power
+    selection matches the wavefront integrator draw for draw."""
+    tables, statics = _many_light_scene()
+    assert statics["n_area_lights"] == 64
+    rays, keys = _camera_rays(tables, statics, 4096)
+    ref_fn = make_path_integrator(
+        tables, statics, max_depth=2, nee=True, cosine_sampling=True,
+        nee_mode=nee_mode, fused="off", sort_rays=False,
+    )
+    ref = np.asarray(ref_fn(rays, keys))
+    fused = try_make_fused_path_integrator(
+        tables, statics, max_depth=2, nee=True, cosine_sampling=True,
+        nee_mode=nee_mode, interpret=True, force=True,
+    )
+    assert fused is not None
+    got = np.asarray(fused(rays, keys))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+    # lights actually contribute
+    assert ref.max() > 0.1

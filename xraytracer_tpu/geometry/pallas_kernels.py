@@ -644,11 +644,26 @@ def _group_worklist(f, ab, n_tiles, cpg, n_groups, tm=None):
     prune, which only the kernel knows), OR-reduced over each
     RAY_TILE-lane tile. The 1e-4-relative AABB padding dwarfs any
     XLA-vs-Mosaic rounding difference, so a chunk this pass rejects cannot
-    contain a hit for any lane of the tile — skipping it is
-    bitwise-neutral. A group is active iff any of its chunks is.
+    contain a hit for any lane of the tile — skipping it cannot change the
+    nearest hit. The pass runs TILED (``lax.map`` over ray tiles) so the
+    live intermediate is (n_chunks, RAY_TILE), not (n_chunks, n_rays) —
+    the untiled version materialized ~840 MB per array at the
+    205k-tri x 131k-ray point (round-3 advisor finding).
+
+    Each tile's active groups are ordered FRONT-TO-BACK by the group's
+    minimum candidate slab-entry distance (ties and inactives by id,
+    stable argsort), not by ascending id: the kernel's per-row
+    ``enter < best_t`` chunk prune and the group-level union-AABB prune
+    then reject everything behind the first hits, which ascending-id
+    traversal only managed by luck. Winner SELECTION is order-independent
+    (the packed-key min is commutative, and a pruned chunk's hits quantize
+    to strictly larger keys — see the margin note in _sweep_kernel_impl);
+    only exact packed-key TIES (identical quantized t AND chunk-local row,
+    i.e. duplicated geometry) resolve by traversal order, now
+    front-to-back (PARITY.md "nearest-hit tie-break").
 
     Returns ``(ids, n_act, masks)``: ids (n_tiles, n_groups) int32 — each
-    tile's candidate group ids in ascending order, padded by REPEATING the
+    tile's candidate group ids front-to-back, padded by REPEATING the
     last active id (an unchanged block index issues no DMA); n_act
     (n_tiles,) int32; masks (n_tiles, n_groups) int32 — bit c of
     ``masks[tile, g]`` set iff chunk ``g*cpg + c`` is a candidate for some
@@ -660,25 +675,41 @@ def _group_worklist(f, ab, n_tiles, cpg, n_groups, tm=None):
     segment length (shadow sweeps).
     """
     assert cpg <= 31, "chunk bitmask must fit a non-negative int32"
-    n = f.shape[1]
     n_chunks = n_groups * cpg
     cvalid = ab[:, AB_VALID_COL] > 0.0                       # (C,)
     tiny = np.float32(1e-12)
-    tmin = jnp.full((n_chunks, n), -_BIG)
-    tmax = jnp.full((n_chunks, n), _BIG)
-    for k in range(3):
-        d = f[3 + k]
-        inv = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)    # (N,)
-        ta = (ab[:, k][:, None] - f[6 + k][None, :]) * inv[None, :]
-        tb = (ab[:, k + 3][:, None] - f[6 + k][None, :]) * inv[None, :]
-        tmin = jnp.maximum(tmin, jnp.minimum(ta, tb))
-        tmax = jnp.minimum(tmax, jnp.maximum(ta, tb))
-    cand = (tmax >= tmin) & (tmax > 0.0) & cvalid[:, None]
-    if tm is not None:
-        cand &= jnp.maximum(tmin, 0.0) < tm[None, :] * np.float32(1.0 + 1e-5)
-    # (C, N) -> per-tile chunk candidacy (n_tiles, G, cpg)
-    cbits = jnp.any(cand.reshape(n_groups, cpg, n_tiles, RAY_TILE), axis=3)
-    cbits = cbits.transpose(2, 0, 1)
+    f_t = f.reshape(10, n_tiles, RAY_TILE).transpose(1, 0, 2)
+    tm_t = (
+        jnp.zeros((n_tiles, 0)) if tm is None
+        else tm.reshape(n_tiles, RAY_TILE)
+    )
+
+    def per_tile(args):
+        ft, tmt = args                                       # (10, 4096)
+        tmin = jnp.full((n_chunks, RAY_TILE), -_BIG)
+        tmax = jnp.full((n_chunks, RAY_TILE), _BIG)
+        for k in range(3):
+            d = ft[3 + k]
+            inv = 1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d)
+            ta = (ab[:, k][:, None] - ft[6 + k][None, :]) * inv[None, :]
+            tb = (ab[:, k + 3][:, None] - ft[6 + k][None, :]) * inv[None, :]
+            tmin = jnp.maximum(tmin, jnp.minimum(ta, tb))
+            tmax = jnp.minimum(tmax, jnp.maximum(ta, tb))
+        cand = (tmax >= tmin) & (tmax > 0.0) & cvalid[:, None]
+        if tm is not None:
+            cand &= (
+                jnp.maximum(tmin, 0.0)
+                < tmt[None, :] * np.float32(1.0 + 1e-5)
+            )
+        cgrp = cand.reshape(n_groups, cpg, RAY_TILE)
+        cbits = jnp.any(cgrp, axis=2)                        # (G, cpg)
+        enter = jnp.where(cand, jnp.maximum(tmin, 0.0), _BIG)
+        g_enter = jnp.min(
+            enter.reshape(n_groups, cpg, RAY_TILE), axis=(1, 2)
+        )                                                    # (G,)
+        return cbits, g_enter
+
+    cbits, g_enter = lax.map(per_tile, (f_t, tm_t))
     masks = jnp.sum(
         jnp.where(
             cbits,
@@ -690,10 +721,10 @@ def _group_worklist(f, ab, n_tiles, cpg, n_groups, tm=None):
     )                                                        # (n_tiles, G)
     active = masks != 0
     gi = jnp.arange(n_groups, dtype=jnp.int32)
-    # active ids first (ascending), inactive after — stable by construction
+    # front-to-back: stable argsort over (entry; inactive -> +BIG) — active
+    # groups ascending by entry (ties by id), inactive after (by id)
     order = jnp.argsort(
-        jnp.where(active, gi[None, :], gi[None, :] + np.int32(n_groups)),
-        axis=1,
+        jnp.where(active, g_enter, _BIG), axis=1, stable=True
     ).astype(jnp.int32)
     n_act = jnp.sum(active, axis=1).astype(jnp.int32)
     last = jnp.take_along_axis(

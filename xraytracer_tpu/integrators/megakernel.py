@@ -298,6 +298,7 @@ def _anyhit_row(f11, go_ref, abo_ref, n_chunks, tc):
 def _trace_body(
     ox, oy, oz, dx, dy, dz, key, g_ref, go_ref, rec_ref, ab_ref, abo_ref,
     *, n_chunks, tc, max_depth, nee, le0, cosine, lights, center,
+    nee_kind="all", pick_pmf=None, pick_cdf=None,
 ):
     """Whole-path trace for one (RAY_ROWS, RAY_LANES) tile of rays; shared
     by the per-sample kernel (``_mega_kernel``) and the spp-loop render
@@ -307,6 +308,16 @@ def _trace_body(
     le} with numpy float tuples; ``center``: triangle-table centroid baked
     into the ray-feature build (the g features are centered, see
     pallas_kernels._build_g_chunks).
+
+    ``nee_kind``: "all" sums over every light with one shadow sweep EACH
+    (reference semantics, O(n_lights) sweeps — fine for <= 8 lights);
+    "one"/"power" draw a single light per vertex (surface._nee_area_lights
+    draw-for-draw: pick at site_LIGHT0, sample at site_LIGHT0+1) and pay
+    ONE shadow sweep per bounce regardless of light count — the
+    many-light path (reference: Src/scene.cpp:182-188 picks uniformly;
+    power weighting is the extension through the same CDF the wavefront
+    uses). ``pick_cdf``/``pick_pmf``: static float tuples (len L+1 / L)
+    baked from sampling.DiscreteDistribution1D for "power".
     """
     cx, cy, cz = (np.float32(c) for c in center)
     shp = ox.shape                      # (8, 512)
@@ -423,31 +434,118 @@ def _trace_body(
 
         # ---- NEE over (baked) flat area lights -----------------------
         if nee:
-            for i, L in enumerate(lights):
-                lu, lv = _u2(key, base + _SITE_LIGHT0 + i)
-                v0x, v0y, v0z = (np.float32(c) for c in L["v0"])
-                E1 = tuple(np.float32(c) for c in L["e1"])
-                E2 = tuple(np.float32(c) for c in L["e2"])
-                if L["type"] == 0:  # triangle: sqrt warp, a=v0 b=v0+e1 c=v0+e2
-                    su = jnp.sqrt(lu)
-                    vs = lv * su
-                    lpx = (v0x + E2[0]) + (1.0 - su) * (-E2[0]) + vs * (E1[0] - E2[0])
-                    lpy = (v0y + E2[1]) + (1.0 - su) * (-E2[1]) + vs * (E1[1] - E2[1])
-                    lpz = (v0z + E2[2]) + (1.0 - su) * (-E2[2]) + vs * (E1[2] - E2[2])
-                    pdf_scale = np.float32(2.0)
-                else:               # quad: bilinear point
-                    lpx = v0x + E1[0] * lu + E2[0] * lv
-                    lpy = v0y + E1[1] * lu + E2[1] * lv
-                    lpz = v0z + E1[2] * lu + E2[2] * lv
-                    pdf_scale = np.float32(1.0)
+            if nee_kind == "all":
+                samples = []
+                for i, L in enumerate(lights):
+                    lu, lv = _u2(key, base + _SITE_LIGHT0 + i)
+                    v0x, v0y, v0z = (np.float32(c) for c in L["v0"])
+                    E1 = tuple(np.float32(c) for c in L["e1"])
+                    E2 = tuple(np.float32(c) for c in L["e2"])
+                    if L["type"] == 0:  # triangle sqrt warp, a=v0 b=+e1 c=+e2
+                        su = jnp.sqrt(lu)
+                        vs = lv * su
+                        lpx = (v0x + E2[0]) + (1.0 - su) * (-E2[0]) + vs * (E1[0] - E2[0])
+                        lpy = (v0y + E2[1]) + (1.0 - su) * (-E2[1]) + vs * (E1[1] - E2[1])
+                        lpz = (v0z + E2[2]) + (1.0 - su) * (-E2[2]) + vs * (E1[2] - E2[2])
+                        pdf_scale = np.float32(2.0)
+                    else:               # quad: bilinear point
+                        lpx = v0x + E1[0] * lu + E2[0] * lv
+                        lpy = v0y + E1[1] * lu + E2[1] * lv
+                        lpz = v0z + E1[2] * lu + E2[2] * lv
+                        pdf_scale = np.float32(1.0)
+                    GN = tuple(np.float32(c) for c in L["ng"])
+                    gnx = jnp.full(shp, GN[0])
+                    gny = jnp.full(shp, GN[1])
+                    gnz = jnp.full(shp, GN[2])
+                    LE = tuple(np.float32(c) for c in L["le"])
+                    samples.append((
+                        lpx, lpy, lpz, gnx, gny, gnz, pdf_scale,
+                        jnp.full(shp, LE[0]), jnp.full(shp, LE[1]),
+                        jnp.full(shp, LE[2]), one,
+                    ))
+            else:
+                # one sampled light per vertex (surface._nee_area_lights
+                # "one"/"power" draw parity: pick then sample)
+                n_l = len(lights)
+                u_pick = _u1(key, base + _SITE_LIGHT0)
+                if nee_kind == "power":
+                    # DiscreteDistribution1D.sample: lower_bound over the
+                    # baked L+1-entry cdf with the x==0 bump
+                    x = zero.astype(jnp.int32)
+                    for cj in pick_cdf:
+                        x = x + (np.float32(cj) < u_pick).astype(jnp.int32)
+                    lidx = jnp.clip(jnp.maximum(x, 1) - 1, 0, n_l - 1)
+                else:
+                    lidx = jnp.minimum(
+                        (u_pick * np.float32(n_l)).astype(jnp.int32),
+                        n_l - 1,
+                    )
+                lu, lv = _u2(key, base + _SITE_LIGHT0 + 1)
+                # select the picked light's fields (vectorized unrolled
+                # select: O(L) trivial VPU wheres, ONE shadow sweep below)
+                v0xs = v0ys = v0zs = zero
+                e1xs = e1ys = e1zs = zero
+                e2xs = e2ys = e2zs = zero
+                gnx = gny = gnz = zero
+                lers = legs = lebs = zero
+                is_tri = zero
+                prob = one
+                for i, L in enumerate(lights):
+                    sel = lidx == i
+                    V0 = tuple(np.float32(c) for c in L["v0"])
+                    E1 = tuple(np.float32(c) for c in L["e1"])
+                    E2 = tuple(np.float32(c) for c in L["e2"])
+                    GN = tuple(np.float32(c) for c in L["ng"])
+                    LE = tuple(np.float32(c) for c in L["le"])
+                    v0xs = jnp.where(sel, V0[0], v0xs)
+                    v0ys = jnp.where(sel, V0[1], v0ys)
+                    v0zs = jnp.where(sel, V0[2], v0zs)
+                    e1xs = jnp.where(sel, E1[0], e1xs)
+                    e1ys = jnp.where(sel, E1[1], e1ys)
+                    e1zs = jnp.where(sel, E1[2], e1zs)
+                    e2xs = jnp.where(sel, E2[0], e2xs)
+                    e2ys = jnp.where(sel, E2[1], e2ys)
+                    e2zs = jnp.where(sel, E2[2], e2zs)
+                    gnx = jnp.where(sel, GN[0], gnx)
+                    gny = jnp.where(sel, GN[1], gny)
+                    gnz = jnp.where(sel, GN[2], gnz)
+                    lers = jnp.where(sel, LE[0], lers)
+                    legs = jnp.where(sel, LE[1], legs)
+                    lebs = jnp.where(sel, LE[2], lebs)
+                    is_tri = jnp.where(
+                        sel, np.float32(1.0 if L["type"] == 0 else 0.0),
+                        is_tri,
+                    )
+                    p_i = (pick_pmf[i] if nee_kind == "power"
+                           else 1.0 / n_l)
+                    prob = jnp.where(sel, np.float32(p_i), prob)
+                # both warps on the selected fields, picked by type
+                su = jnp.sqrt(lu)
+                vs = lv * su
+                tri_x = (v0xs + e2xs) + (1.0 - su) * (-e2xs) + vs * (e1xs - e2xs)
+                tri_y = (v0ys + e2ys) + (1.0 - su) * (-e2ys) + vs * (e1ys - e2ys)
+                tri_z = (v0zs + e2zs) + (1.0 - su) * (-e2zs) + vs * (e1zs - e2zs)
+                tsel = is_tri > 0.0
+                lpx = jnp.where(tsel, tri_x, v0xs + e1xs * lu + e2xs * lv)
+                lpy = jnp.where(tsel, tri_y, v0ys + e1ys * lu + e2ys * lv)
+                lpz = jnp.where(tsel, tri_z, v0zs + e1zs * lu + e2zs * lv)
+                pdf_scale = jnp.where(tsel, 2.0, 1.0)
+                # pick probability folds into the pdf
+                # (surface._nee_area_lights: ls.pdf * pick_prob)
+                samples = [(
+                    lpx, lpy, lpz, gnx, gny, gnz, pdf_scale,
+                    lers, legs, lebs, prob,
+                )]
+
+            for (lpx, lpy, lpz, gnx, gny, gnz, pdf_scale, ler2, leg2,
+                 leb2, prob) in samples:
                 dlx, dly, dlz = lpx - px, lpy - py, lpz - pz
                 tl = jnp.sqrt(dlx * dlx + dly * dly + dlz * dlz)
-                GN = tuple(np.float32(c) for c in L["ng"])
-                ddn = dlx * GN[0] + dly * GN[1] + dlz * GN[2]
+                ddn = dlx * gnx + dly * gny + dlz * gnz
                 front = ddn < 0.0
                 denom = jnp.abs(ddn)
                 denom = jnp.where(denom == 0.0, 1.0, denom)
-                pdf = pdf_scale * tl * tl * tl / denom
+                pdf = pdf_scale * tl * tl * tl / denom * prob
                 ok = pdf > 0.0
                 ti = 1.0 / jnp.where(tl == 0.0, 1.0, tl)
                 wix, wiy, wiz = dlx * ti, dly * ti, dlz * ti
@@ -481,10 +579,9 @@ def _trace_body(
                 coef = jnp.where(
                     vis & ok & above & front, cosv / pdfs, 0.0
                 ) * np.float32(PI_INV)
-                LE = tuple(np.float32(c) for c in L["le"])
-                rr_ = rr_ + jnp.where(active, trr * albr * LE[0] * coef, 0.0)
-                rg_ = rg_ + jnp.where(active, trg * albg * LE[1] * coef, 0.0)
-                rb_ = rb_ + jnp.where(active, trb * albb * LE[2] * coef, 0.0)
+                rr_ = rr_ + jnp.where(active, trr * albr * ler2 * coef, 0.0)
+                rg_ = rg_ + jnp.where(active, trg * albg * leg2 * coef, 0.0)
+                rb_ = rb_ + jnp.where(active, trb * albb * leb2 * coef, 0.0)
 
         # ---- BSDF bounce (Lambert) -----------------------------------
         # the final bounce's sampled ray feeds no further iteration — skip
@@ -553,9 +650,12 @@ def _mega_kernel(
     rb_ref[...] = rb_
 
 
-def _eligible(scene, statics, max_depth):
+def _eligible(scene, statics, max_depth, max_lights=8):
     """Concrete-table eligibility for the fused kernel; returns the baked
-    light list or None."""
+    light list or None. ``max_lights``: the "all" NEE mode unrolls one
+    shadow sweep per light (8 keeps code size sane); the "one"/"power"
+    modes pay one sweep total and raise the cap to 64 (the per-light
+    field-select is O(L) trivial VPU wheres)."""
     try:
         tri_obj = np.asarray(scene.tri_obj)
         sph_obj = np.asarray(scene.sph_obj)
@@ -599,19 +699,33 @@ def _eligible(scene, statics, max_depth):
             "ng": tuple(float(c) for c in np.asarray(scene.al_ng)[i]),
             "le": tuple(float(c) for c in np.asarray(scene.al_le)[i]),
         })
-    if n_lights > 8:
+    if n_lights > max_lights:
         return None  # unrolled NEE code size guard
     return tuple(lights)
 
 
-def _bake(scene, statics, max_depth, nee, le0, cosine):
+def _bake(scene, statics, max_depth, nee, le0, cosine, nee_mode="all"):
     """Shared scene baking for both fused kernels: eligibility check, then
     (kernel consts, g/go/rec chunk tables, table BlockSpecs) — or None."""
-    lights = _eligible(scene, statics, max_depth)
+    max_lights = 8 if nee_mode == "all" else 64
+    lights = _eligible(scene, statics, max_depth, max_lights=max_lights)
     if lights is None:
         return None
     if nee and len(lights) == 0:
         nee = False
+    pick_pmf = pick_cdf = None
+    if nee and nee_mode == "power":
+        from ..lights import light_power_weights
+        from ..sampling import DiscreteDistribution1D
+
+        try:
+            w = light_power_weights(scene)[: len(lights)]
+        except Exception:
+            nee_mode = "one"        # traced tables: uniform (surface.py
+        else:                       # makes the same fallback)
+            dist = DiscreteDistribution1D(w)
+            pick_pmf = tuple(float(p) for p in np.asarray(dist.pmf))
+            pick_cdf = tuple(float(c) for c in np.asarray(dist.cdf))
 
     from ..geometry.pallas_kernels import _build_g_chunks
 
@@ -637,6 +751,7 @@ def _bake(scene, statics, max_depth, nee, le0, cosine):
     consts = dict(
         n_chunks=n_chunks, tc=tc, max_depth=max_depth, nee=nee, le0=le0,
         cosine=cosine, lights=lights, center=center,
+        nee_kind=nee_mode, pick_pmf=pick_pmf, pick_cdf=pick_cdf,
     )
     table_specs = [
         pl.BlockSpec(g_chunks.shape, lambda i: (0, 0, 0),
@@ -656,7 +771,7 @@ def _bake(scene, statics, max_depth, nee, le0, cosine):
 
 def try_make_fused_path_integrator(
     scene, statics, max_depth, nee=True, le_depth0_only=None,
-    cosine_sampling=False, interpret=False, force=False,
+    cosine_sampling=False, interpret=False, force=False, nee_mode="all",
 ):
     """Build the fused-path integrate(rays, keys) if the scene qualifies,
     else return None. ``force`` skips the TPU-platform check (tests run the
@@ -670,7 +785,7 @@ def try_make_fused_path_integrator(
     if le_depth0_only is None:
         le_depth0_only = nee
     baked = _bake(scene, statics, max_depth, nee, le_depth0_only,
-                  cosine_sampling)
+                  cosine_sampling, nee_mode=nee_mode)
     if baked is None:
         return None
     consts, tables, table_specs = baked
@@ -913,7 +1028,7 @@ def _mega_spp_persistent_kernel(
 def try_make_fused_spp_render(
     scene, statics, camera, width, height, seed, max_depth, nee=True,
     le_depth0_only=None, cosine_sampling=False, interpret=False, force=False,
-    mesh=None, mesh_axis="d", pixel_order="raster",
+    mesh=None, mesh_axis="d", pixel_order="raster", nee_mode="all",
 ):
     """Build ``render_chunk(s0, n_spp) -> (radiance_sum (N,3), n_rejected)``
     running the whole spp chunk in one Pallas call, or None if the scene /
@@ -932,7 +1047,7 @@ def try_make_fused_spp_render(
     if le_depth0_only is None:
         le_depth0_only = nee
     baked = _bake(scene, statics, max_depth, nee, le_depth0_only,
-                  cosine_sampling)
+                  cosine_sampling, nee_mode=nee_mode)
     if baked is None:
         return None
     consts, tables, table_specs = baked

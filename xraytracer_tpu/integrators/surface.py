@@ -217,13 +217,14 @@ def make_path_integrator(
     # inside ONE Pallas call — ~2.5x the composable wavefront's throughput.
     if (
         fused == "auto" and tri_fn is None and not with_stats and not mis
-        and nee_mode == "all"
+        and nee_mode in ("all", "one", "power")
     ):
         from .megakernel import try_make_fused_path_integrator
 
         fi = try_make_fused_path_integrator(
             scene, statics, max_depth, nee=nee,
             le_depth0_only=le_depth0_only, cosine_sampling=cosine_sampling,
+            nee_mode=nee_mode,
         )
         if fi is not None:
             # advertise the whole-render fused path so WavefrontRenderer can
@@ -232,7 +233,7 @@ def make_path_integrator(
             fi.fused_spec = dict(
                 scene=scene, statics=statics, max_depth=max_depth, nee=nee,
                 le_depth0_only=le_depth0_only,
-                cosine_sampling=cosine_sampling,
+                cosine_sampling=cosine_sampling, nee_mode=nee_mode,
             )
             return fi
 
