@@ -8,9 +8,13 @@ self-set target in BASELINE.json: primary-rays/s on the GI Cornell box
 1e8 rays/s/chip target.
 
 ``extra`` carries the secondary north-star metrics (BASELINE.md):
-  * fwd_bwd_rays_per_s — primary rays/s through jax.value_and_grad of the
-    L2 loss on the differentiable GI Cornell pipeline (forward + backward),
-    the second half of BASELINE.json's declared throughput metric;
+  * fwd_bwd_rays_per_s — primary rays/s for value-and-gradient of the L2
+    loss on the GI Cornell pipeline (forward + backward), the second half
+    of BASELINE.json's declared throughput metric. Round 4: the headline
+    is the ANALYTIC-gradient megakernel (forward-pass Jacobians,
+    diff.try_make_fast_value_and_grad, parity-gated vs autodiff); the
+    reverse-mode jax.value_and_grad number rides along as
+    ``autodiff_rays_per_s`` for cross-round comparison;
   * vpt_rays_per_s — homogeneous VolumePathTracing preset (256x256 depth 10);
   * het_tracking_ms — one heterogeneous delta-tracking wavefront
     (65k lanes, bounded masked loop) on the procedural cloud;
@@ -95,20 +99,37 @@ def _bench_gi_fwd_bwd():
     radiance = make_radiance_fn(
         tables, statics, camera, w, h, max_depth=3, cosine_sampling=True
     )
-    grad_fn = jax.jit(jax.value_and_grad(make_loss_fn(radiance)))
     pixel_ids, pixel_xy = pixel_grid(w, h)
     target = jnp.zeros((w * h, 3))
     params = {"mat_albedo": tables.mat_albedo}
-    # warmup (compile)
-    val, g = grad_fn(params, pixel_ids, pixel_xy, target, 0)
-    jax.block_until_ready(g["mat_albedo"])
-    n_steps = 8
-    t0 = time.perf_counter()
-    for s in range(1, 1 + n_steps):
-        val, g = grad_fn(params, pixel_ids, pixel_xy, target, s)
-    jax.block_until_ready(g["mat_albedo"])
-    dt = time.perf_counter() - t0
-    return w * h * n_steps / dt
+
+    def time_steps(fn):
+        val, g = fn(params, pixel_ids, pixel_xy, target, 0)   # compile
+        jax.block_until_ready(g["mat_albedo"])
+        n_steps = 8
+        t0 = time.perf_counter()
+        for s in range(1, 1 + n_steps):
+            val, g = fn(params, pixel_ids, pixel_xy, target, s)
+        jax.block_until_ready(g["mat_albedo"])
+        return w * h * n_steps / (time.perf_counter() - t0)
+
+    autodiff = time_steps(jax.jit(jax.value_and_grad(make_loss_fn(radiance))))
+    # round-4 analytic-gradient megakernel (forward-pass Jacobians,
+    # diff.try_make_fast_value_and_grad — parity-gated vs autodiff); the
+    # headline fwd+bwd metric is the fastest correct gradient the
+    # framework offers, with the reverse-mode number kept for comparison
+    from xraytracer_tpu.diff import try_make_fast_value_and_grad
+
+    fast = try_make_fast_value_and_grad(
+        tables, statics, camera, w, h, max_depth=3, nee=True,
+        cosine_sampling=True,
+    )
+    analytic = time_steps(jax.jit(fast)) if fast is not None else None
+    return {
+        "value": max(autodiff, analytic or 0.0),
+        "method": "analytic_fused" if analytic else "autodiff",
+        "autodiff_rays_per_s": autodiff,
+    }
 
 
 def _bench_vpt():

@@ -16,6 +16,9 @@ differentiable pipeline (diff.py) with one knob turned, on the REAL chip:
   remat       — jax.checkpoint around the whole radiance fn (recompute
                 instead of materialize; tells if the tape is HBM-bound)
   allparams   — grads w.r.t. mat_albedo AND al_le
+  analytic    — the round-4 analytic-gradient megakernel
+                (diff.try_make_fast_value_and_grad: per-lane Jacobians
+                accumulated in the forward pass, no transpose)
 
 Usage: python bench_fwdbwd.py [variant ...]
 Prints one JSON line per variant: {"variant", "rays_per_s"}.
@@ -56,6 +59,21 @@ def build(variant):
         params["al_le"] = tables.al_le
     loss = make_loss_fn(radiance)
 
+    if variant == "analytic":
+        from xraytracer_tpu.diff import try_make_fast_value_and_grad
+
+        step = try_make_fast_value_and_grad(
+            tables, statics, camera, w, h, max_depth=3, nee=True,
+            cosine_sampling=True,
+        )
+        assert step is not None
+        fn = jax.jit(step)
+
+        def run(s):
+            v, g = fn(params, pixel_ids, pixel_xy, target, s)
+            return g["mat_albedo"]
+
+        return run, w * h
     if variant == "fwd":
         fn = jax.jit(
             lambda p, s: jnp.sum(radiance(p, pixel_ids, pixel_xy, s))

@@ -110,3 +110,58 @@ def make_train_step(radiance_fn, lr=0.05):
         return val, new, g
 
     return step
+
+
+def try_make_fast_value_and_grad(
+    tables, statics, camera, width, height, max_depth=3, nee=True,
+    cosine_sampling=True, seed=0, interpret=False, force=False,
+):
+    """Forward-pass ANALYTIC value_and_grad of the L2 image loss — the
+    megakernel accumulates per-lane ∂img/∂mat_albedo and ∂img/∂al_le
+    alongside radiance (megakernel.try_make_fused_grad_path), so the
+    whole "fwd+bwd" costs one forward kernel: no tape, no transpose
+    (bench_fwdbwd.py measured the reverse-mode transpose at 1.3x the
+    forward, an irreducible floor for that formulation).
+
+    Same call signature as ``jax.value_and_grad(make_loss_fn(...))``:
+    ``step(params, pixel_ids, pixel_xy, target, sample_idx) ->
+    (loss, grads)`` with grads for the keys present in ``params``
+    ("mat_albedo" live — updates flow through the per-call rejoined
+    tri_rec without recompiling; "al_le" gradients are evaluated at the
+    BAKED build-time Le, so re-bake per Le update). Parity-gated against
+    jax.value_and_grad on the autodiff pipeline
+    (tests/test_diff.py::test_analytic_grad_kernel_matches_autodiff).
+    Returns None when the scene isn't megakernel-eligible."""
+    import jax.numpy as jnp
+
+    from .integrators.megakernel import try_make_fused_grad_path
+    from .scene.tables import rejoin_appearance
+
+    fg = try_make_fused_grad_path(
+        tables, statics, max_depth, nee=nee,
+        cosine_sampling=cosine_sampling, interpret=interpret, force=force,
+    )
+    if fg is None:
+        return None
+    wh = jnp.asarray([float(width), float(height)])
+
+    def step(params, pixel_ids, pixel_xy, target, sample_idx):
+        scene = rejoin_appearance(tables._replace(**params))
+        keys = path_keys(seed, pixel_ids, sample_idx)
+        u = uniform2(keys, CAMERA_SITE)
+        rays = camera.sample_rays((pixel_xy + u) / wh)
+        img, galb, gle = fg(rays, keys, tri_rec=scene.tri_rec)
+        n = img.shape[0]
+        loss = jnp.mean((img - target) ** 2)
+        r = 2.0 * (img - target) / (n * 3)
+        grads = {}
+        if "mat_albedo" in params:
+            grads["mat_albedo"] = jnp.einsum("nc,nckm->mk", r, galb)
+        if "al_le" in params:
+            gl = jnp.einsum("nc,ncl->lc", r, gle)
+            grads["al_le"] = (
+                jnp.zeros_like(params["al_le"]).at[: gl.shape[0]].set(gl)
+            )
+        return loss, grads
+
+    return step

@@ -262,10 +262,28 @@ def _make_het_iteration(
         # ---- weighted delta tracking (media_pallas.track_sample) --------
         t0v = jnp.where(has_med, h["t"], 0.0)
         t1v = jnp.where(has_med, h["t1"], 0.0)
-        t_res, w, scat_acc, sstep = track_sample(
-            o3, d3, t0v, t1v, (trr, trg, trb), key,
-            site + np.int32(_SITE_MEDIUM), has_med, bricks_ref, sg_ref,
-            pcoords, cmed, max_steps,
+
+        def _do_track(_):
+            return track_sample(
+                o3, d3, t0v, t1v, (trr, trg, trb), key,
+                site + np.int32(_SITE_MEDIUM), has_med, bricks_ref, sg_ref,
+                pcoords, cmed, max_steps,
+            )
+
+        def _skip_track(_):
+            # exactly track_sample's inactive-lane outputs
+            return (
+                t1v + np.float32(RAY_EPS),
+                (jnp.ones(shp), jnp.ones(shp), jnp.ones(shp)),
+                jnp.zeros(shp, jnp.int32), jnp.zeros(shp, jnp.int32),
+            )
+
+        # tile-level gate: when no lane of the tile is in the medium this
+        # pass (sky tiles, persistent-loop tails), skip the whole tracking
+        # call INCLUDING its majorant DDA and entry density lookup — the
+        # inner while_loop alone exits early but only after paying those
+        t_res, w, scat_acc, sstep = lax.cond(
+            jnp.any(has_med), _do_track, _skip_track, 0
         )
         # NaN guard (media.sample_medium wrapper / Src/medium.cpp:83-91)
         bad = jnp.isnan(w[0]) | jnp.isnan(w[1]) | jnp.isnan(w[2])
@@ -293,54 +311,72 @@ def _make_het_iteration(
         mpz = oz + t_res * dz
 
         # ---- NEE at the scatter vertex (Src/integrator.h:538-631) -------
+        # tile-level gate: every contribution below is masked on
+        # ``scattered``, so when no lane scattered the whole block (cone
+        # sample, shadow intersect, transmittance DDA + tracking) adds
+        # exactly zero — skip it
         if nee and lights:
-            n_l = len(lights)
-            u_pick = _u1_at(key, site + np.int32(site_pick))
-            lidx = jnp.minimum(
-                (u_pick * np.float32(n_l)).astype(jnp.int32), n_l - 1
+            def _do_nee(_):
+                return _nee_block()
+
+            def _skip_nee(_):
+                return rr_, rg_, rb_
+
+            def _nee_block():
+                n_l = len(lights)
+                u_pick = _u1_at(key, site + np.int32(site_pick))
+                lidx = jnp.minimum(
+                    (u_pick * np.float32(n_l)).astype(jnp.int32), n_l - 1
+                )
+                lu, lv = _u2_at(key, site + np.int32(site_light))
+                mp3 = (mpx, mpy, mpz)
+                wix = jnp.zeros(shp)
+                wiy = jnp.zeros(shp)
+                wiz = jnp.zeros(shp)
+                pdf = jnp.zeros(shp)
+                ler2, leg2, leb2 = zero, zero, zero
+                for i, L in enumerate(lights):
+                    wi3, _tm, pdf_i, front = _cone_sample(mp3, L, lu, lv)
+                    sel = lidx == i
+                    wix = jnp.where(sel, wi3[0], wix)
+                    wiy = jnp.where(sel, wi3[1], wiy)
+                    wiz = jnp.where(sel, wi3[2], wiz)
+                    pdf = jnp.where(sel, pdf_i * np.float32(1.0 / n_l), pdf)
+                    fr = sel & front
+                    ler2 = jnp.where(fr, np.float32(L["le"][0]), ler2)
+                    leg2 = jnp.where(fr, np.float32(L["le"][1]), leg2)
+                    leb2 = jnp.where(fr, np.float32(L["le"][2]), leb2)
+                ok_ = scattered & (pdf > 0.0)
+                # isVisible (Src/integrator.h:604-631): nearest hit from
+                # the scatter point; all spheres here are emitters without
+                # materials, so a surface block is statically impossible —
+                # only the medium box multiplies its ratio-tracked
+                # transmittance
+                sh = _intersect(mp3, (wix, wiy, wiz), spheres, box)
+                s_med = ok_ & sh["box_win"]
+                p1 = tuple(mp3[k] + sh["t"] * wv
+                           for k, wv in enumerate((wix, wiy, wiz)))
+                p2 = tuple(
+                    jnp.where(s_med, mp3[k] + sh["t1"] * wv, p1[k])
+                    for k, wv in enumerate((wix, wiy, wiz))
+                )
+                tr = track_transmittance(
+                    p1, p2, key, site + np.int32(site_tr), s_med,
+                    bricks_ref, sg_ref, pcoords, cmed, max_steps,
+                )
+                cos_sc = wix * dx + wiy * dy + wiz * dz
+                f = hg_phase_val(cos_sc)
+                pdfs = jnp.where(pdf == 0.0, 1.0, pdf)
+                coef = jnp.where(ok_, f / pdfs, 0.0)
+                return (
+                    rr_ + trr * w[0] * tr[0] * ler2 * coef,
+                    rg_ + trg * w[1] * tr[1] * leg2 * coef,
+                    rb_ + trb * w[2] * tr[2] * leb2 * coef,
+                )
+
+            rr_, rg_, rb_ = lax.cond(
+                jnp.any(scattered), _do_nee, _skip_nee, 0
             )
-            lu, lv = _u2_at(key, site + np.int32(site_light))
-            mp3 = (mpx, mpy, mpz)
-            wix = jnp.zeros(shp)
-            wiy = jnp.zeros(shp)
-            wiz = jnp.zeros(shp)
-            pdf = jnp.zeros(shp)
-            ler2, leg2, leb2 = zero, zero, zero
-            for i, L in enumerate(lights):
-                wi3, _tm, pdf_i, front = _cone_sample(mp3, L, lu, lv)
-                sel = lidx == i
-                wix = jnp.where(sel, wi3[0], wix)
-                wiy = jnp.where(sel, wi3[1], wiy)
-                wiz = jnp.where(sel, wi3[2], wiz)
-                pdf = jnp.where(sel, pdf_i * np.float32(1.0 / n_l), pdf)
-                fr = sel & front
-                ler2 = jnp.where(fr, np.float32(L["le"][0]), ler2)
-                leg2 = jnp.where(fr, np.float32(L["le"][1]), leg2)
-                leb2 = jnp.where(fr, np.float32(L["le"][2]), leb2)
-            ok_ = scattered & (pdf > 0.0)
-            # isVisible (Src/integrator.h:604-631): nearest hit from the
-            # scatter point; all spheres here are emitters without
-            # materials, so a surface block is statically impossible — only
-            # the medium box multiplies its ratio-tracked transmittance
-            sh = _intersect(mp3, (wix, wiy, wiz), spheres, box)
-            s_med = ok_ & sh["box_win"]
-            p1 = tuple(mp3[k] + sh["t"] * wv
-                       for k, wv in enumerate((wix, wiy, wiz)))
-            p2 = tuple(
-                jnp.where(s_med, mp3[k] + sh["t1"] * wv, p1[k])
-                for k, wv in enumerate((wix, wiy, wiz))
-            )
-            tr = track_transmittance(
-                p1, p2, key, site + np.int32(site_tr), s_med,
-                bricks_ref, sg_ref, pcoords, cmed, max_steps,
-            )
-            cos_sc = wix * dx + wiy * dy + wiz * dz
-            f = hg_phase_val(cos_sc)
-            pdfs = jnp.where(pdf == 0.0, 1.0, pdf)
-            coef = jnp.where(ok_, f / pdfs, 0.0)
-            rr_ = rr_ + trr * w[0] * tr[0] * ler2 * coef
-            rg_ = rg_ + trg * w[1] * tr[1] * leg2 * coef
-            rb_ = rb_ + trb * w[2] * tr[2] * leb2 * coef
 
         # ---- advance (Src/integrator.h:456-467) -------------------------
         ox = jnp.where(has_med, mpx, ox)

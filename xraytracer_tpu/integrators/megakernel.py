@@ -298,7 +298,7 @@ def _anyhit_row(f11, go_ref, abo_ref, n_chunks, tc):
 def _trace_body(
     ox, oy, oz, dx, dy, dz, key, g_ref, go_ref, rec_ref, ab_ref, abo_ref,
     *, n_chunks, tc, max_depth, nee, le0, cosine, lights, center,
-    nee_kind="all", pick_pmf=None, pick_cdf=None,
+    nee_kind="all", pick_pmf=None, pick_cdf=None, grads=None,
 ):
     """Whole-path trace for one (RAY_ROWS, RAY_LANES) tile of rays; shared
     by the per-sample kernel (``_mega_kernel``) and the spp-loop render
@@ -318,6 +318,22 @@ def _trace_body(
     power weighting is the extension through the same CDF the wavefront
     uses). ``pick_cdf``/``pick_pmf``: static float tuples (len L+1 / L)
     baked from sampling.DiscreteDistribution1D for "power".
+
+    ``grads``: None, or a dict {"obj_mat": tuple(int), "n_mats": M} —
+    ANALYTIC-GRADIENT mode. Alongside radiance, the trace accumulates
+    ∂radiance/∂mat_albedo[m, c] and ∂radiance/∂al_le[l, c] per lane IN
+    THE FORWARD pass, exploiting the detached-sampling estimator's
+    structure: radiance is built from products of albedos/Le with
+    sampling-independent coefficients, so the per-lane Jacobian follows
+    the same recursion as the throughput (per channel: G_m = ∂T/∂α_m
+    updates by the product rule at every bounce, the RR boost 1/p couples
+    channels through p = mean(T), emissions contribute G·Le and T·δ).
+    This reproduces jax.value_and_grad of the SAME estimator exactly
+    (parity-tested vs the XLA autodiff pipeline) at forward cost — no
+    tape, no transpose, one kernel (bench_fwdbwd.py: the transpose was
+    1.3x the forward and residual-saving was free, so reverse mode
+    could never beat ~0.5x forward throughput). Returns
+    (rr, rg, rb, galb [M][3] planes, gle [L][3] planes).
     """
     cx, cy, cz = (np.float32(c) for c in center)
     shp = ox.shape                      # (8, 512)
@@ -326,6 +342,19 @@ def _trace_body(
     trr, trg, trb = one, one, one       # throughput
     rr_, rg_, rb_ = zero, zero, zero    # radiance
     active = jnp.ones(shp, bool)
+    if grads is not None:
+        n_mats = grads["n_mats"]
+        obj_mat = grads["obj_mat"]      # static obj row -> material row
+        n_l = len(lights)
+        # Full per-lane Jacobians (cross-channel terms arise through the
+        # RR boost, whose survival probability mixes channels):
+        #   GT[c][cc][m]  = ∂T_c/∂α_{m,cc}
+        #   dL[c][cc][m] = ∂L_c/∂α_{m,cc}
+        #   dE[c][l]     = ∂L_c/∂Le_{l,c}   (Le never enters throughput,
+        #                                    so no channel coupling)
+        GT = [[[zero] * n_mats for _ in range(3)] for _ in range(3)]
+        dL = [[[zero] * n_mats for _ in range(3)] for _ in range(3)]
+        dE = [[zero] * n_l for _ in range(3)]
 
     for depth in range(max_depth):
         base = depth * SITES_PER_BOUNCE
@@ -360,6 +389,13 @@ def _trace_body(
         e2x, e2y, e2z = rcomp(21), rcomp(22), rcomp(23)
         lrow = rcomp(25)
         albr, albg, albb = rcomp(29), rcomp(30), rcomp(31)
+        if grads is not None:
+            # hit material row via the baked obj -> mat map (record col 24)
+            obj_col = rcomp(24)
+            mat_sel = [zero.astype(bool) for _ in range(n_mats)]
+            for o, m in enumerate(obj_mat):
+                if m >= 0:
+                    mat_sel[m] = mat_sel[m] | (obj_col == np.float32(o))
 
         # exact t/u/v via classic factored Möller-Trumbore against the
         # WINNER's geometry, on the (8, 512) footprint — the same math the
@@ -412,6 +448,32 @@ def _trace_body(
             killed = active & (u_rr >= rr_prob)
             active = active & ~killed
             boost = 1.0 / jnp.maximum(rr_prob, 1e-12)
+            if grads is not None:
+                # the boost 1/p couples channels: p = mean(T) before the
+                # clamp, so ∂boost/∂α = -boost² · gate · ΣG/3 with gate
+                # the derivative of minimum(mean, 1.0) w.r.t. mean: 1
+                # below the clamp, 0 above, and 1/2 AT the tie — jax's
+                # min/max JVP averages the branches at exact ties, and
+                # albedo EXACTLY 1 (Cornell white) lands there (found by
+                # per-lane JVP parity: a hard gate was off by exactly 2x
+                # on every white-bounce lane).
+                t_pre = (trr, trg, trb)
+                mean_t = (trr + trg + trb) * np.float32(1 / 3)
+                gate = jnp.where(
+                    mean_t < 1.0, 1.0,
+                    jnp.where(mean_t == 1.0, 0.5, 0.0),
+                )
+                live = gate * -(boost * boost) * np.float32(1 / 3)
+                for m in range(n_mats):
+                    for cc in range(3):
+                        dp = (GT[0][cc][m] + GT[1][cc][m] + GT[2][cc][m])
+                        db = live * dp
+                        for c in range(3):
+                            GT[c][cc][m] = jnp.where(
+                                active,
+                                GT[c][cc][m] * boost + t_pre[c] * db,
+                                GT[c][cc][m],
+                            )
             trr = jnp.where(active, trr * boost, trr)
             trg = jnp.where(active, trg * boost, trg)
             trb = jnp.where(active, trb * boost, trb)
@@ -430,6 +492,20 @@ def _trace_body(
             rr_ = rr_ + jnp.where(is_emitter, trr * ler, 0.0)
             rg_ = rg_ + jnp.where(is_emitter, trg * leg, 0.0)
             rb_ = rb_ + jnp.where(is_emitter, trb * leb, 0.0)
+            if grads is not None:
+                le_c = (ler, leg, leb)
+                t_c = (trr, trg, trb)
+                for c in range(3):
+                    for cc in range(3):
+                        for m in range(n_mats):
+                            dL[c][cc][m] = dL[c][cc][m] + jnp.where(
+                                is_emitter, GT[c][cc][m] * le_c[c], 0.0
+                            )
+                    for i in range(n_l):
+                        dE[c][i] = dE[c][i] + jnp.where(
+                            is_emitter & (lrow == np.float32(i)) & on,
+                            t_c[c], 0.0,
+                        )
         active = active & ~is_emitter
 
         # ---- NEE over (baked) flat area lights -----------------------
@@ -537,8 +613,8 @@ def _trace_body(
                     lers, legs, lebs, prob,
                 )]
 
-            for (lpx, lpy, lpz, gnx, gny, gnz, pdf_scale, ler2, leg2,
-                 leb2, prob) in samples:
+            for li, (lpx, lpy, lpz, gnx, gny, gnz, pdf_scale, ler2, leg2,
+                     leb2, prob) in enumerate(samples):
                 dlx, dly, dlz = lpx - px, lpy - py, lpz - pz
                 tl = jnp.sqrt(dlx * dlx + dly * dly + dlz * dlz)
                 ddn = dlx * gnx + dly * gny + dlz * gnz
@@ -582,6 +658,25 @@ def _trace_body(
                 rr_ = rr_ + jnp.where(active, trr * albr * ler2 * coef, 0.0)
                 rg_ = rg_ + jnp.where(active, trg * albg * leg2 * coef, 0.0)
                 rb_ = rb_ + jnp.where(active, trb * albb * leb2 * coef, 0.0)
+                if grads is not None:       # nee_kind == "all": li = row
+                    alb_c = (albr, albg, albb)
+                    le_c = (ler2, leg2, leb2)
+                    t_c = (trr, trg, trb)
+                    for c in range(3):
+                        lc = le_c[c] * coef
+                        for cc in range(3):
+                            for m in range(n_mats):
+                                dd = GT[c][cc][m] * alb_c[c]
+                                if cc == c:
+                                    dd = dd + jnp.where(
+                                        mat_sel[m], t_c[c], 0.0
+                                    )
+                                dL[c][cc][m] = dL[c][cc][m] + jnp.where(
+                                    active, dd * lc, 0.0
+                                )
+                        dE[c][li] = dE[c][li] + jnp.where(
+                            active, t_c[c] * alb_c[c] * coef, 0.0
+                        )
 
         # ---- BSDF bounce (Lambert) -----------------------------------
         # the final bounce's sampled ray feeds no further iteration — skip
@@ -618,6 +713,21 @@ def _trace_body(
         wwx = lx * t0x + ly * nsx + lz * b0x
         wwy = lx * t0y + ly * nsy + lz * b0y
         wwz = lx * t0z + ly * nsz + lz * b0z
+        if grads is not None:
+            # T'_c = T_c * α_{hit,c} * f (f = 1 cosine, 2cosθ otherwise —
+            # albedo-independent): product rule, same-channel δ term
+            f_bounce = one if cosine else cw
+            w_c = (wr, wg, wb)
+            t_c = (trr, trg, trb)
+            for c in range(3):
+                for cc in range(3):
+                    for m in range(n_mats):
+                        gn = GT[c][cc][m] * w_c[c]
+                        if cc == c:
+                            gn = gn + jnp.where(
+                                mat_sel[m], t_c[c] * f_bounce, 0.0
+                            )
+                        GT[c][cc][m] = jnp.where(active, gn, GT[c][cc][m])
         trr = jnp.where(active, trr * wr, trr)
         trg = jnp.where(active, trg * wg, trg)
         trb = jnp.where(active, trb * wb, trb)
@@ -631,6 +741,8 @@ def _trace_body(
         dy = jnp.where(active, wwy, dy)
         dz = jnp.where(active, wwz, dz)
 
+    if grads is not None:
+        return rr_, rg_, rb_, dL, dE
     return rr_, rg_, rb_
 
 
@@ -648,6 +760,122 @@ def _mega_kernel(
     rr_ref[...] = rr_
     rg_ref[...] = rg_
     rb_ref[...] = rb_
+
+
+def _mega_grad_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, key_ref,
+    g_ref, go_ref, rec_ref, ab_ref, abo_ref, *out_refs, **consts,
+):
+    """Analytic-gradient per-sample kernel: radiance + per-lane Jacobians
+    w.r.t. mat_albedo and al_le (see _trace_body ``grads``). Outputs:
+    [rr, rg, rb] + dL[c][cc][m] (c-major) + dE[c][l]."""
+    rr_, rg_, rb_, dL, dE = _trace_body(
+        ox_ref[...], oy_ref[...], oz_ref[...],
+        dx_ref[...], dy_ref[...], dz_ref[...], key_ref[...],
+        g_ref, go_ref, rec_ref, ab_ref, abo_ref, **consts,
+    )
+    out_refs[0][...] = rr_
+    out_refs[1][...] = rg_
+    out_refs[2][...] = rb_
+    k = 3
+    for c in range(3):
+        for cc in range(3):
+            for m in range(consts["grads"]["n_mats"]):
+                out_refs[k][...] = dL[c][cc][m]
+                k += 1
+    for c in range(3):
+        for l in range(len(dE[c])):
+            out_refs[k][...] = dE[c][l]
+            k += 1
+
+
+def try_make_fused_grad_path(
+    scene, statics, max_depth, nee=True, le_depth0_only=None,
+    cosine_sampling=False, interpret=False, force=False,
+):
+    """Analytic forward-pass gradients: ``f(rays, keys, tri_rec=None) ->
+    (img (N,3), galb (N,3,3,M), gle (N,3,L))`` where
+    ``galb[:, c, cc, m] = ∂img_c/∂mat_albedo[m, cc]`` and
+    ``gle[:, c, l] = ∂img_c/∂al_le[l, c]`` — the exact gradient of the
+    SAME realized estimator jax.value_and_grad computes on the
+    differentiable wavefront pipeline (parity-tested), at forward cost.
+
+    ``tri_rec`` (optional per-call (T, 32) table, e.g. from
+    ``rejoin_appearance`` after a mat_albedo override) makes albedo
+    UPDATES live without recompiling; light Le values stay baked — pass
+    gradients w.r.t. al_le are evaluated at the scene's build-time Le.
+    Returns None when the scene isn't megakernel-eligible."""
+    if not force:
+        try:
+            if jax.devices()[0].platform != "tpu":
+                return None
+        except Exception:
+            return None
+    if le_depth0_only is None:
+        le_depth0_only = nee
+    baked = _bake(scene, statics, max_depth, nee, le_depth0_only,
+                  cosine_sampling, nee_mode="all")
+    if baked is None:
+        return None
+    consts, tables, table_specs = baked
+    n_mats = int(np.asarray(scene.mat_albedo).shape[0])
+    n_l = len(consts["lights"])
+    consts = dict(
+        consts,
+        grads=dict(
+            n_mats=n_mats,
+            obj_mat=tuple(int(m) for m in np.asarray(scene.obj_mat)),
+        ),
+    )
+    n_out = 3 + 9 * n_mats + 3 * n_l
+    kernel = partial(_mega_grad_kernel, **consts)
+    io_spec = pl.BlockSpec(
+        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    g_c, go_c, rec_c, ab_c, abo_c = tables
+
+    def f(rays, keys, tri_rec=None):
+        rec = rec_c if tri_rec is None else tri_rec.reshape(rec_c.shape)
+        n = rays.o.shape[0]
+        n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+        n_tiles = n_pad // RAY_TILE
+        grid_rows = n_tiles * RAY_ROWS
+
+        def lane(x):
+            if n_pad != n:
+                x = jnp.pad(x, (0, n_pad - n))
+            return x.reshape(grid_rows, RAY_LANES)
+
+        comps = [lane(rays.o[:, 0]), lane(rays.o[:, 1]), lane(rays.o[:, 2]),
+                 lane(rays.d[:, 0]), lane(rays.d[:, 1]), lane(rays.d[:, 2]),
+                 lane(keys.astype(jnp.uint32))]
+        out_shape = [
+            jax.ShapeDtypeStruct((grid_rows, RAY_LANES), jnp.float32)
+        ] * n_out
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[io_spec] * 7 + table_specs,
+            out_specs=[io_spec] * n_out,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*comps, g_c, go_c, rec, ab_c, abo_c)
+
+        def flat(x):
+            return x.reshape(-1)[:n]
+
+        img = jnp.stack([flat(outs[0]), flat(outs[1]), flat(outs[2])], -1)
+        galb = jnp.stack(
+            [flat(o) for o in outs[3:3 + 9 * n_mats]], -1
+        ).reshape(n, 3, 3, n_mats)
+        gle = jnp.stack(
+            [flat(o) for o in outs[3 + 9 * n_mats:]], -1
+        ).reshape(n, 3, n_l)
+        return img, galb, gle
+
+    f.n_mats = n_mats
+    f.n_lights = n_l
+    return f
 
 
 def _eligible(scene, statics, max_depth, max_lights=8):

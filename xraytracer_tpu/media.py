@@ -328,9 +328,30 @@ def _sample_homogeneous(med, rays, t0, t1, path_throughput, keys, site):
     return MediumSample(pos=pos, dir=d, weight=weight, scattered=~escaped)
 
 
+def _score_ratio(p, p_min=1e-5):
+    """``p / stop_grad(p)`` with guards: value exactly 1, gradient the
+    score term ∂log p. Multiplying a path weight by this for every SAMPLED
+    discrete event whose probability depends on the differentiated
+    parameters turns the detached-sampling (fixed-stream) gradient into
+    the full score-corrected estimator d/dθ E[F] = E[dF + F·dlog p]
+    (differential delta tracking / radiative-backprop style) — the forward
+    value is untouched, and downstream contributions inherit the factor
+    through the throughput product.
+
+    Events with probability below ``p_min`` carry NO score (gradient
+    clipped to 0): ∂log p = ∂p/p explodes as p -> 0 when a
+    probability-~0 branch happens to be sampled (observed: NaN'd Adam on
+    a dense grid where p_null ~ 1e-8 events were drawn), and the clipped
+    estimator's bias is O(p_min) while its variance is bounded — the
+    standard score-clipping compromise."""
+    ps = jax.lax.stop_gradient(p)
+    safe = ps > p_min
+    return jnp.where(safe, p, 1.0) / jnp.where(safe, ps, 1.0)
+
+
 def _sample_heterogeneous(
     scene, med, rays, t0, t1, path_throughput, keys, site, max_steps,
-    differentiable=False, het_mask=None,
+    differentiable=False, het_mask=None, score_terms=False,
 ):
     """Weighted delta tracking with spectral MIS (reference:
     Src/medium.cpp:45-133), as a bounded masked ``while_loop`` over
@@ -413,6 +434,22 @@ def _sample_heterogeneous(
         pdf_nl = jnp.sum(pmf * m_safe[:, None] * tr_s * p_n, axis=-1, keepdims=True)
         w_null = w_track * tr_s * sig_n / jnp.where(pdf_nl == 0.0, 1.0, pdf_nl)
 
+        if score_terms:
+            # score-corrected gradients (see _score_ratio): the θ-dependent
+            # SAMPLED events in the chain are the channel pick (prob
+            # pmf[channel] — a function of albedo/throughput) and the
+            # scatter-vs-null split (prob p_s_c / 1 - p_s_c — functions of
+            # the density field). Distance draws and escape are sampled
+            # w.r.t. the MAJORANT tables (grid_super / med_majorant),
+            # which are independent leaves the optimizer holds fixed, so
+            # they carry no score. Values are unchanged (ratio == 1).
+            r_pick = _score_ratio(
+                jnp.take_along_axis(pmf, channel[:, None], axis=-1)
+            )
+            w_esc = w_esc * r_pick
+            w_scat = w_scat * r_pick * _score_ratio(p_s_c[:, None])
+            w_null = w_null * r_pick * _score_ratio(1.0 - p_s_c[:, None])
+
         done = active & (esc | scat)
         pos_out = jnp.where(
             (active & esc)[:, None], rays.at(t1 + RAY_EPS), _pos
@@ -477,7 +514,7 @@ def _sample_heterogeneous(
 def sample_medium(
     scene, med_idx, rays, t0, t1, path_throughput, keys, site,
     max_steps=256, has_heterogeneous=True, has_homogeneous=True,
-    differentiable=False, het_fn=None,
+    differentiable=False, het_fn=None, score_terms=False,
 ):
     """Wavefront ``Object::sampleMedium`` dispatch (reference:
     Src/primitive.cpp:63-74 -> Src/medium.h:148-277 / Src/medium.cpp:45-133).
@@ -512,7 +549,7 @@ def sample_medium(
                 _sample_heterogeneous(
                     scene, med, rays, t0, t1, path_throughput, keys, site,
                     max_steps, differentiable=differentiable,
-                    het_mask=het_mask,
+                    het_mask=het_mask, score_terms=score_terms,
                 )
             )
         masks.append(het_mask)

@@ -10,11 +10,19 @@ Estimator note: the path integrator samples directions from the COSINE
 hemisphere and lights uniformly — neither distribution depends on albedo
 or Le, so the detached-sampling gradient is an unbiased estimator of the
 gradient of the expected image and plain stochastic descent converges.
-(Contrast: density-grid gradients through delta tracking are exact for a
-FIXED random stream — validated against finite differences in
-tests/test_diff_volume.py — but the tracking DECISIONS' dependence on
-density contributes a score term that detached sampling drops, so
-optimizing density needs differential-tracking estimators; out of scope.)
+Density-grid descent needs two more ingredients (round 4): the
+score-corrected tracking estimator
+(``make_volume_integrator(differentiable=True, score_terms=True)`` — the
+tracking decisions' probabilities depend on density, and dropping their
+score term makes descent diverge) and a TWO-SAMPLE product loss
+(E[(a-t)(b-t)] over independent renders, removing the Var(img) term a
+plain L2 on a noisy render minimizes by collapsing density to zero).
+Demonstrated end to end by
+tests/test_diff_volume.py::test_density_descent_recovers_blob.
+The round-3 surface fwd+bwd path is additionally superseded for
+megakernel-eligible scenes by the analytic-gradient kernel
+(``diff.try_make_fast_value_and_grad``): per-lane Jacobians accumulate in
+the forward pass — 59 M rays/s fwd+bwd vs 15.8 M through reverse mode.
 
 Usage:
     python -m xraytracer_tpu.tools.fit_scene --steps 80 -o fit.npz
