@@ -23,6 +23,8 @@ SIZES = {
     "13k": (82, 80),     # ~13k
     "51k": (161, 160),   # ~51k — well past anything the reference ships
     "205k": (321, 320),  # ~205k — 100x the reference's largest mesh
+    "1m": (709, 708),    # ~1M — streamed-sweep headroom point (round 4):
+                         # HBM-bound group streaming has no VMEM size cap
 }
 
 
