@@ -79,14 +79,28 @@ def main(argv):
 
     variants = argv or ["base", "nonee", "steps16", "dda8", "iter24"]
     for v in variants:
-        r = build(v)
-        r.render(1)                                     # compile
-        runs = [r.render(8).seconds / 8 * 1e3 for _ in range(2)]
-        print(
-            json.dumps({"variant": v, "ms_per_spp": round(min(runs), 2)}),
-            flush=True,
-        )
-        del r
+        # variant builders mutate module globals (dda8, nopersist): reset
+        # them after each variant so later variants measure only their own
+        # knob (review finding: a default-order run measured iter24 with
+        # dda8's _DDA_SEGMENTS=8 still applied)
+        import xraytracer_tpu.integrators.het_megakernel as hm
+        import xraytracer_tpu.media as med
+        import xraytracer_tpu.media_pallas as mp
+
+        saved = (mp._DDA_SEGMENTS, med._DDA_SEGMENTS,
+                 hm.try_make_fused_het_spp_render)
+        try:
+            r = build(v)
+            r.render(1)                                 # compile
+            runs = [r.render(8).seconds / 8 * 1e3 for _ in range(2)]
+            print(
+                json.dumps({"variant": v, "ms_per_spp": round(min(runs), 2)}),
+                flush=True,
+            )
+            del r
+        finally:
+            mp._DDA_SEGMENTS, med._DDA_SEGMENTS = saved[0], saved[1]
+            hm.try_make_fused_het_spp_render = saved[2]
 
 
 if __name__ == "__main__":

@@ -115,6 +115,7 @@ def make_train_step(radiance_fn, lr=0.05):
 def try_make_fast_value_and_grad(
     tables, statics, camera, width, height, max_depth=3, nee=True,
     cosine_sampling=True, seed=0, interpret=False, force=False,
+    le_grads=False,
 ):
     """Forward-pass ANALYTIC value_and_grad of the L2 image loss — the
     megakernel accumulates per-lane ∂img/∂mat_albedo and ∂img/∂al_le
@@ -125,10 +126,14 @@ def try_make_fast_value_and_grad(
 
     Same call signature as ``jax.value_and_grad(make_loss_fn(...))``:
     ``step(params, pixel_ids, pixel_xy, target, sample_idx) ->
-    (loss, grads)`` with grads for the keys present in ``params``
-    ("mat_albedo" live — updates flow through the per-call rejoined
-    tri_rec without recompiling; "al_le" gradients are evaluated at the
-    BAKED build-time Le, so re-bake per Le update). Parity-gated against
+    (loss, grads)`` with grads for ``params`` keys. Only "mat_albedo" is
+    a LIVE parameter (updates flow through the per-call rejoined tri_rec
+    without recompiling). Light emission values are BAKED into the
+    kernel, so an "al_le" override cannot take effect — passing it
+    raises instead of silently descending a stale objective (review
+    finding); set ``le_grads=True`` to additionally receive
+    ``grads["al_le"]`` evaluated at the build-time Le (rebuild the
+    factory after any Le update). Parity-gated against
     jax.value_and_grad on the autodiff pipeline
     (tests/test_diff.py::test_analytic_grad_kernel_matches_autodiff).
     Returns None when the scene isn't megakernel-eligible."""
@@ -146,6 +151,14 @@ def try_make_fast_value_and_grad(
     wh = jnp.asarray([float(width), float(height)])
 
     def step(params, pixel_ids, pixel_xy, target, sample_idx):
+        if "al_le" in params:
+            raise ValueError(
+                "al_le cannot be overridden through the fast analytic "
+                "path (light emission is baked into the kernel; an "
+                "override would silently render at the stale build-time "
+                "Le). Rebuild the factory with the updated tables, or "
+                "request gradients at the baked Le via le_grads=True."
+            )
         scene = rejoin_appearance(tables._replace(**params))
         keys = path_keys(seed, pixel_ids, sample_idx)
         u = uniform2(keys, CAMERA_SITE)
@@ -157,10 +170,10 @@ def try_make_fast_value_and_grad(
         grads = {}
         if "mat_albedo" in params:
             grads["mat_albedo"] = jnp.einsum("nc,nckm->mk", r, galb)
-        if "al_le" in params:
+        if le_grads:
             gl = jnp.einsum("nc,ncl->lc", r, gle)
             grads["al_le"] = (
-                jnp.zeros_like(params["al_le"]).at[: gl.shape[0]].set(gl)
+                jnp.zeros_like(tables.al_le).at[: gl.shape[0]].set(gl)
             )
         return loss, grads
 

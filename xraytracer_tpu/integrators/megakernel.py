@@ -463,6 +463,16 @@ def _trace_body(
                     mean_t < 1.0, 1.0,
                     jnp.where(mean_t == 1.0, 0.5, 0.0),
                 )
+                # ... and the maximum(rr_prob, 1e-12) clamp on the other
+                # side: below it autodiff's derivative is 0 through the
+                # flat branch (0.5 at the tie) — without this, a lane with
+                # mean throughput under 1e-12 injects an O(boost^2) term
+                # autodiff doesn't have (review finding)
+                eps = np.float32(1e-12)
+                gate = gate * jnp.where(
+                    rr_prob > eps, 1.0,
+                    jnp.where(rr_prob == eps, 0.5, 0.0),
+                )
                 live = gate * -(boost * boost) * np.float32(1 / 3)
                 for m in range(n_mats):
                     for cc in range(3):
@@ -1054,6 +1064,36 @@ def try_make_fused_path_integrator(
     return integrate
 
 
+def _cam_ray(pixfold, px, py, s_u32, cam, cam_site):
+    """Per-lane path key + pinhole camera ray for sample index ``s_u32``
+    (uint32 plane or scalar): the (seed, pixel, sample) stream of
+    sampling/rng.path_keys with camera.py's sample_rays baked to
+    constants. SHARED by the per-sample and persistent spp kernels — the
+    two must stay draw-for-draw identical (their A/B tests compare at
+    1-ulp tolerance), so there is exactly one copy of this derivation."""
+    shp = px.shape
+    m = cam["m"]                        # 3x3 row-vector c2w rotation
+    key = _pcg(pixfold + s_u32)
+    x1 = _pcg(key + cam_site)
+    x2 = _pcg(x1)
+    uvx = (px + _tof(x1)) * cam["inv_w"]
+    uvy = (py + _tof(x2)) * cam["inv_h"]
+    nx = (2.0 * uvx - 1.0) * cam["scale"]
+    ny = (1.0 - 2.0 * uvy) * cam["scale_over_aspect"]
+    # world dir = ndc @ c2w[:3,:3] with ndc z = -1 (camera.py:33-43)
+    dxw = nx * m[0][0] + ny * m[1][0] - m[2][0]
+    dyw = nx * m[0][1] + ny * m[1][1] - m[2][1]
+    dzw = nx * m[0][2] + ny * m[1][2] - m[2][2]
+    inv = 1.0 / jnp.sqrt(dxw * dxw + dyw * dyw + dzw * dzw)
+    return (
+        key,
+        jnp.full(shp, cam["o"][0]),
+        jnp.full(shp, cam["o"][1]),
+        jnp.full(shp, cam["o"][2]),
+        dxw * inv, dyw * inv, dzw * inv,
+    )
+
+
 def _mega_spp_kernel(
     srange_ref, pixfold_ref, px_ref, py_ref, *refs, cam, cam_site, trace,
 ):
@@ -1079,27 +1119,13 @@ def _mega_spp_kernel(
     shp = px.shape
     s0 = srange_ref[0]
     n_spp = srange_ref[1]
-    m = cam["m"]                        # 3x3 row-vector c2w rotation
     inf = np.float32(np.inf)
 
     def body(i, carry):
         accr, accg, accb, rej = carry
-        key = _pcg(pixfold + (s0 + i).astype(jnp.uint32))
-        x1 = _pcg(key + cam_site)
-        x2 = _pcg(x1)
-        uvx = (px + _tof(x1)) * cam["inv_w"]
-        uvy = (py + _tof(x2)) * cam["inv_h"]
-        nx = (2.0 * uvx - 1.0) * cam["scale"]
-        ny = (1.0 - 2.0 * uvy) * cam["scale_over_aspect"]
-        # world dir = ndc @ c2w[:3,:3] with ndc z = -1 (camera.py:33-43)
-        dxw = nx * m[0][0] + ny * m[1][0] - m[2][0]
-        dyw = nx * m[0][1] + ny * m[1][1] - m[2][1]
-        dzw = nx * m[0][2] + ny * m[1][2] - m[2][2]
-        inv = 1.0 / jnp.sqrt(dxw * dxw + dyw * dyw + dzw * dzw)
-        dx, dy, dz = dxw * inv, dyw * inv, dzw * inv
-        ox = jnp.full(shp, cam["o"][0])
-        oy = jnp.full(shp, cam["o"][1])
-        oz = jnp.full(shp, cam["o"][2])
+        key, ox, oy, oz, dx, dy, dz = _cam_ray(
+            pixfold, px, py, (s0 + i).astype(jnp.uint32), cam, cam_site
+        )
         rr, rg, rb = trace(ox, oy, oz, dx, dy, dz, key, *table_refs)
         ok = ((rr >= 0.0) & (rr < inf) & (rg >= 0.0) & (rg < inf)
               & (rb >= 0.0) & (rb < inf))
@@ -1156,30 +1182,15 @@ def _mega_spp_persistent_kernel(
     shp = px.shape
     s0 = srange_ref[0]
     n_spp = srange_ref[1]
-    m = cam["m"]
     inf = np.float32(np.inf)
     iteration = make_iteration(*table_refs)
 
     def cam_init(s):
-        """(key, o3, d3) for each lane's sample ``s`` (plane) — same stream
-        as ``_mega_spp_kernel.body``."""
-        key = _pcg(pixfold + (s0 + s).astype(jnp.uint32))
-        x1 = _pcg(key + cam_site)
-        x2 = _pcg(x1)
-        uvx = (px + _tof(x1)) * cam["inv_w"]
-        uvy = (py + _tof(x2)) * cam["inv_h"]
-        nx = (2.0 * uvx - 1.0) * cam["scale"]
-        ny = (1.0 - 2.0 * uvy) * cam["scale_over_aspect"]
-        dxw = nx * m[0][0] + ny * m[1][0] - m[2][0]
-        dyw = nx * m[0][1] + ny * m[1][1] - m[2][1]
-        dzw = nx * m[0][2] + ny * m[1][2] - m[2][2]
-        inv = 1.0 / jnp.sqrt(dxw * dxw + dyw * dyw + dzw * dzw)
-        return (
-            key,
-            jnp.full(shp, cam["o"][0]),
-            jnp.full(shp, cam["o"][1]),
-            jnp.full(shp, cam["o"][2]),
-            dxw * inv, dyw * inv, dzw * inv,
+        """(key, o3, d3) for each lane's sample ``s`` (plane) — the
+        SHARED derivation (_cam_ray), so the stream is identical to
+        ``_mega_spp_kernel.body`` by construction."""
+        return _cam_ray(
+            pixfold, px, py, (s0 + s).astype(jnp.uint32), cam, cam_site
         )
 
     def body(state):
