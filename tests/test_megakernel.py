@@ -454,3 +454,33 @@ def test_fused_many_lights_matches_wavefront(nee_mode):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
     # lights actually contribute
     assert ref.max() > 0.1
+
+
+def test_fused_surface_persistent_bitwise():
+    """Persistent-lane surface spp kernel (per-lane depth, dynamic RNG
+    sites — megakernel._make_surface_iteration) vs the per-sample kernel:
+    same draws, same per-lane accumulation order (measured bitwise-equal
+    in interpret mode; tolerance covers compiler FMA contraction like the
+    volume A/Bs)."""
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators.megakernel import (
+        try_make_fused_spp_render,
+    )
+    from xraytracer_tpu.scene.presets import cornell_camera
+
+    tables, statics = _cornell()
+    w, h = 64, 48
+    camera = PinholeCamera.make(w / h, **cornell_camera())
+    kw = dict(max_depth=3, nee=True, cosine_sampling=True, interpret=True,
+              force=True)
+    per_sample = try_make_fused_spp_render(
+        tables, statics, camera, w, h, seed=3, persistent=False, **kw)
+    persistent = try_make_fused_spp_render(
+        tables, statics, camera, w, h, seed=3, persistent=True, **kw)
+    ra, na = per_sample(0, 3)
+    rb, nb = persistent(0, 3)
+    np.testing.assert_allclose(
+        np.asarray(ra), np.asarray(rb), rtol=1e-6, atol=1e-7
+    )
+    assert int(na) == int(nb)
+    assert float(np.abs(np.asarray(ra)).sum()) > 0.0

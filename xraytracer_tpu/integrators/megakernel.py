@@ -772,6 +772,336 @@ def _mega_kernel(
     rb_ref[...] = rb_
 
 
+def _u1_dyn(key, offs):
+    """uniform1 at a RUNTIME int32 site offset (plane) — value-identical
+    to ``_u1``'s baked ``_site_const`` (uint32 wraparound both ways)."""
+    return _tof(_pcg(key + offs.astype(jnp.uint32) * _GOLDEN))
+
+
+def _u2_dyn(key, offs):
+    x1 = _pcg(key + offs.astype(jnp.uint32) * _GOLDEN)
+    x2 = _pcg(x1)
+    return _tof(x1), _tof(x2)
+
+
+def _make_surface_iteration(
+    g_ref, go_ref, rec_ref, ab_ref, abo_ref, *,
+    n_chunks, tc, max_depth, nee, le0, cosine, lights, center,
+    nee_kind="all", pick_pmf=None, pick_cdf=None, grads=None,
+):
+    """One surface path BOUNCE over the standard persistent 16-tuple carry
+    (it, key, rr, rg, rb, trr, trg, trb, ox, oy, oz, dx, dy, dz, depth,
+    act) with PER-LANE depth (= ``it``): the persistent-lane counterpart
+    of ``_trace_body``'s statically-unrolled depth loop, for
+    ``_mega_spp_persistent_kernel`` (a dead lane starts its next sample
+    instead of idling out the tile — Cornell GI occupancy measured
+    [3072, 1646, 890] lanes across the three bounces, i.e. 39% idle slots
+    in the per-sample kernel).
+
+    Draw-for-draw with ``_trace_body``: sites come from the same
+    (key, depth*SITES_PER_BOUNCE + site) stream via the runtime-offset
+    ``_u1_dyn``/``_u2_dyn`` (value-identical to the baked ``_site_const``
+    fold), the depth-0 RR draw is computed-but-masked exactly as the
+    unrolled version never consumes it, and lanes at the last depth
+    compute a BSDF bounce whose direction/throughput are never read
+    (value-neutral; the per-sample kernel skips that block statically).
+    ``grads`` is not supported here (the analytic-gradient kernel keeps
+    the per-sample structure). Gated by the persistent A/B test.
+    """
+    assert grads is None, "analytic grads use the per-sample kernel"
+    cx, cy, cz = (np.float32(c) for c in center)
+
+    def iteration(carry):
+        (it, key, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz, dx, dy, dz,
+         depth, act) = carry
+        shp = ox.shape
+        zero = jnp.zeros(shp, jnp.float32)
+        one = jnp.ones(shp, jnp.float32)
+        active = act > 0
+        base = it * np.int32(SITES_PER_BOUNCE)
+
+        G = SWEEP_GROUP
+        hit_r, rec_r = [], []
+        for r0 in range(0, RAY_ROWS, G):
+            fg = jnp.concatenate([
+                _build_f(
+                    (ox[r:r + 1] - cx, oy[r:r + 1] - cy, oz[r:r + 1] - cz),
+                    (dx[r:r + 1], dy[r:r + 1], dz[r:r + 1]),
+                )
+                for r in range(r0, r0 + G)
+            ], axis=1)
+            bk, rec = _nearest_row(fg, g_ref, rec_ref, ab_ref, n_chunks, tc)
+            for j in range(G):
+                s = slice(j * RAY_LANES, (j + 1) * RAY_LANES)
+                hit_r.append(bk[:, s])
+                rec_r.append(rec[:, s])
+        hit = _cat(hit_r) < _INF_KEY
+
+        def rcomp(c):
+            return _cat([rec_r[r][c:c + 1] for r in range(RAY_ROWS)])
+
+        n0x, n0y, n0z = rcomp(0), rcomp(1), rcomp(2)
+        n1x, n1y, n1z = rcomp(3), rcomp(4), rcomp(5)
+        n2x, n2y, n2z = rcomp(6), rcomp(7), rcomp(8)
+        v0x, v0y, v0z = rcomp(15), rcomp(16), rcomp(17)
+        e1x, e1y, e1z = rcomp(18), rcomp(19), rcomp(20)
+        e2x, e2y, e2z = rcomp(21), rcomp(22), rcomp(23)
+        lrow = rcomp(25)
+        albr, albg, albb = rcomp(29), rcomp(30), rcomp(31)
+
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det_w = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_w = 1.0 / jnp.where(det_w == 0.0, 1.0, det_w)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        tu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_w
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        tv = (dx * qvx + dy * qvy + dz * qvz) * inv_w
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_w
+        t = jnp.where(hit, t, _BIG)
+        tu = jnp.where(hit, tu, 0.0)
+        tv = jnp.where(hit, tv, 0.0)
+
+        active = active & hit
+
+        ngx = e1y * e2z - e1z * e2y
+        ngy = e1z * e2x - e1x * e2z
+        ngz = e1x * e2y - e1y * e2x
+        ngl = jnp.sqrt(ngx * ngx + ngy * ngy + ngz * ngz)
+        ngi = 1.0 / ngl
+        ngx, ngy, ngz = ngx * ngi, ngy * ngi, ngz * ngi
+        w0 = 1.0 - tu - tv
+        nsx = w0 * n0x + tu * n1x + tv * n2x
+        nsy = w0 * n0y + tu * n1y + tv * n2y
+        nsz = w0 * n0z + tu * n1z + tv * n2z
+        nsi = 1.0 / jnp.maximum(
+            jnp.sqrt(nsx * nsx + nsy * nsy + nsz * nsz), 1e-20
+        )
+        nsx, nsy, nsz = nsx * nsi, nsy * nsi, nsz * nsi
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+
+        # RR, per-lane depth > 0 (the unrolled kernel never consumes the
+        # depth-0 draw; computing-and-masking it is stream-neutral)
+        u_rr = _u1_dyn(key, base + np.int32(_SITE_RR))
+        rr_prob = jnp.minimum((trr + trg + trb) * np.float32(1 / 3), 1.0)
+        do_rr = active & (it > 0)
+        killed = do_rr & (u_rr >= rr_prob)
+        active = active & ~killed
+        boost = 1.0 / jnp.maximum(rr_prob, 1e-12)
+        keep = do_rr & active
+        trr = jnp.where(keep, trr * boost, trr)
+        trg = jnp.where(keep, trg * boost, trg)
+        trb = jnp.where(keep, trb * boost, trb)
+
+        # one-sided emitter Le
+        is_emitter = active & (lrow >= 0.0)
+        wons = -(dx * nsx + dy * nsy + dz * nsz)
+        on = wons > 0.0
+        ler, leg, leb = zero, zero, zero
+        for i, L in enumerate(lights):
+            sel = (lrow == np.float32(i)) & on
+            ler = jnp.where(sel, np.float32(L["le"][0]), ler)
+            leg = jnp.where(sel, np.float32(L["le"][1]), leg)
+            leb = jnp.where(sel, np.float32(L["le"][2]), leb)
+        add_le = is_emitter & (it == 0) if le0 else is_emitter
+        rr_ = rr_ + jnp.where(add_le, trr * ler, 0.0)
+        rg_ = rg_ + jnp.where(add_le, trg * leg, 0.0)
+        rb_ = rb_ + jnp.where(add_le, trb * leb, 0.0)
+        active = active & ~is_emitter
+
+        # NEE (same structure as _trace_body; dynamic sites)
+        if nee:
+            if nee_kind == "all":
+                samples = []
+                for i, L in enumerate(lights):
+                    lu, lv = _u2_dyn(key, base + np.int32(_SITE_LIGHT0 + i))
+                    v0l = tuple(np.float32(c) for c in L["v0"])
+                    E1 = tuple(np.float32(c) for c in L["e1"])
+                    E2 = tuple(np.float32(c) for c in L["e2"])
+                    if L["type"] == 0:
+                        su = jnp.sqrt(lu)
+                        vs = lv * su
+                        lpx = (v0l[0] + E2[0]) + (1.0 - su) * (-E2[0]) + vs * (E1[0] - E2[0])
+                        lpy = (v0l[1] + E2[1]) + (1.0 - su) * (-E2[1]) + vs * (E1[1] - E2[1])
+                        lpz = (v0l[2] + E2[2]) + (1.0 - su) * (-E2[2]) + vs * (E1[2] - E2[2])
+                        pdf_scale = np.float32(2.0)
+                    else:
+                        lpx = v0l[0] + E1[0] * lu + E2[0] * lv
+                        lpy = v0l[1] + E1[1] * lu + E2[1] * lv
+                        lpz = v0l[2] + E1[2] * lu + E2[2] * lv
+                        pdf_scale = np.float32(1.0)
+                    GN = tuple(np.float32(c) for c in L["ng"])
+                    LE = tuple(np.float32(c) for c in L["le"])
+                    samples.append((
+                        lpx, lpy, lpz,
+                        jnp.full(shp, GN[0]), jnp.full(shp, GN[1]),
+                        jnp.full(shp, GN[2]), pdf_scale,
+                        jnp.full(shp, LE[0]), jnp.full(shp, LE[1]),
+                        jnp.full(shp, LE[2]), one,
+                    ))
+            else:
+                n_l = len(lights)
+                u_pick = _u1_dyn(key, base + np.int32(_SITE_LIGHT0))
+                if nee_kind == "power":
+                    x = zero.astype(jnp.int32)
+                    for cj in pick_cdf:
+                        x = x + (np.float32(cj) < u_pick).astype(jnp.int32)
+                    lidx = jnp.clip(jnp.maximum(x, 1) - 1, 0, n_l - 1)
+                else:
+                    lidx = jnp.minimum(
+                        (u_pick * np.float32(n_l)).astype(jnp.int32),
+                        n_l - 1,
+                    )
+                lu, lv = _u2_dyn(key, base + np.int32(_SITE_LIGHT0 + 1))
+                v0xs = v0ys = v0zs = zero
+                e1xs = e1ys = e1zs = zero
+                e2xs = e2ys = e2zs = zero
+                gnx = gny = gnz = zero
+                lers = legs = lebs = zero
+                is_tri = zero
+                prob = one
+                for i, L in enumerate(lights):
+                    sel = lidx == i
+                    V0 = tuple(np.float32(c) for c in L["v0"])
+                    E1 = tuple(np.float32(c) for c in L["e1"])
+                    E2 = tuple(np.float32(c) for c in L["e2"])
+                    GN = tuple(np.float32(c) for c in L["ng"])
+                    LE = tuple(np.float32(c) for c in L["le"])
+                    v0xs = jnp.where(sel, V0[0], v0xs)
+                    v0ys = jnp.where(sel, V0[1], v0ys)
+                    v0zs = jnp.where(sel, V0[2], v0zs)
+                    e1xs = jnp.where(sel, E1[0], e1xs)
+                    e1ys = jnp.where(sel, E1[1], e1ys)
+                    e1zs = jnp.where(sel, E1[2], e1zs)
+                    e2xs = jnp.where(sel, E2[0], e2xs)
+                    e2ys = jnp.where(sel, E2[1], e2ys)
+                    e2zs = jnp.where(sel, E2[2], e2zs)
+                    gnx = jnp.where(sel, GN[0], gnx)
+                    gny = jnp.where(sel, GN[1], gny)
+                    gnz = jnp.where(sel, GN[2], gnz)
+                    lers = jnp.where(sel, LE[0], lers)
+                    legs = jnp.where(sel, LE[1], legs)
+                    lebs = jnp.where(sel, LE[2], lebs)
+                    is_tri = jnp.where(
+                        sel, np.float32(1.0 if L["type"] == 0 else 0.0),
+                        is_tri,
+                    )
+                    p_i = (pick_pmf[i] if nee_kind == "power"
+                           else 1.0 / n_l)
+                    prob = jnp.where(sel, np.float32(p_i), prob)
+                su = jnp.sqrt(lu)
+                vs = lv * su
+                tri_x = (v0xs + e2xs) + (1.0 - su) * (-e2xs) + vs * (e1xs - e2xs)
+                tri_y = (v0ys + e2ys) + (1.0 - su) * (-e2ys) + vs * (e1ys - e2ys)
+                tri_z = (v0zs + e2zs) + (1.0 - su) * (-e2zs) + vs * (e1zs - e2zs)
+                tsel = is_tri > 0.0
+                lpx = jnp.where(tsel, tri_x, v0xs + e1xs * lu + e2xs * lv)
+                lpy = jnp.where(tsel, tri_y, v0ys + e1ys * lu + e2ys * lv)
+                lpz = jnp.where(tsel, tri_z, v0zs + e1zs * lu + e2zs * lv)
+                pdf_scale = jnp.where(tsel, 2.0, 1.0)
+                samples = [(
+                    lpx, lpy, lpz, gnx, gny, gnz, pdf_scale,
+                    lers, legs, lebs, prob,
+                )]
+
+            for (lpx, lpy, lpz, gnx, gny, gnz, pdf_scale, ler2, leg2,
+                 leb2, prob) in samples:
+                dlx, dly, dlz = lpx - px, lpy - py, lpz - pz
+                tl = jnp.sqrt(dlx * dlx + dly * dly + dlz * dlz)
+                ddn = dlx * gnx + dly * gny + dlz * gnz
+                front = ddn < 0.0
+                denom = jnp.abs(ddn)
+                denom = jnp.where(denom == 0.0, 1.0, denom)
+                pdf = pdf_scale * tl * tl * tl / denom * prob
+                ok = pdf > 0.0
+                ti = 1.0 / jnp.where(tl == 0.0, 1.0, tl)
+                wix, wiy, wiz = dlx * ti, dly * ti, dlz * ti
+                sox = px + ngx * SHADOW_BIAS
+                soy = py + ngy * SHADOW_BIAS
+                soz = pz + ngz * SHADOW_BIAS
+                tm = tl - SHADOW_BIAS
+                blk = []
+                for r0 in range(0, RAY_ROWS, G):
+                    fs = jnp.concatenate([
+                        _build_f(
+                            (sox[r:r + 1] - cx, soy[r:r + 1] - cy,
+                             soz[r:r + 1] - cz),
+                            (wix[r:r + 1], wiy[r:r + 1], wiz[r:r + 1]),
+                            extra=tm[r:r + 1],
+                        )
+                        for r in range(r0, r0 + G)
+                    ], axis=1)
+                    bg = _anyhit_row(fs, go_ref, abo_ref, n_chunks, tc)
+                    for j in range(G):
+                        blk.append(
+                            bg[:, j * RAY_LANES:(j + 1) * RAY_LANES]
+                        )
+                vis = _cat(blk) == 0
+                cosv = jnp.maximum(0.0, ngx * wix + ngy * wiy + ngz * wiz)
+                wo_y = -(dx * nsx + dy * nsy + dz * nsz)
+                wi_y = wix * nsx + wiy * nsy + wiz * nsz
+                above = (wo_y > 0.0) & (wi_y > 0.0)
+                pdfs = jnp.where(ok, pdf, 1.0)
+                coef = jnp.where(
+                    vis & ok & above & front, cosv / pdfs, 0.0
+                ) * np.float32(PI_INV)
+                rr_ = rr_ + jnp.where(active, trr * albr * ler2 * coef, 0.0)
+                rg_ = rg_ + jnp.where(active, trg * albg * leg2 * coef, 0.0)
+                rb_ = rb_ + jnp.where(active, trb * albb * leb2 * coef, 0.0)
+
+        # BSDF bounce: lanes at the last depth compute it too, but their
+        # direction/throughput are never read (the path ends this pass)
+        ub1, ub2 = _u2_dyn(key, base + np.int32(_SITE_BSDF))
+        if cosine:
+            rad = jnp.sqrt(ub1)
+            phi = np.float32(2.0 * np.pi) * ub2
+            lx = rad * jnp.cos(phi)
+            lz = rad * jnp.sin(phi)
+            ly = jnp.sqrt(jnp.maximum(0.0, 1.0 - ub1))
+            wr, wg, wb = albr, albg, albb
+        else:
+            st_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - ub1 * ub1))
+            phi = np.float32(2.0 * np.pi) * ub2
+            lx = st_ * jnp.cos(phi)
+            ly = ub1
+            lz = st_ * jnp.sin(phi)
+            cw = 2.0 * jnp.maximum(ly, 0.0)
+            wr, wg, wb = albr * cw, albg * cw, albb * cw
+        gsx = jnp.where(hit, nsx, 0.0)
+        gsy = jnp.where(hit, nsy, 1.0)
+        gsz = jnp.where(hit, nsz, 0.0)
+        sg = jnp.copysign(jnp.ones(shp, jnp.float32), gsz)
+        a = -1.0 / (sg + gsz)
+        b = gsx * gsy * a
+        t0x, t0y, t0z = 1.0 + sg * gsx * gsx * a, sg * b, -sg * gsx
+        b0x, b0y, b0z = b, sg + gsy * gsy * a, -gsy
+        wwx = lx * t0x + ly * nsx + lz * b0x
+        wwy = lx * t0y + ly * nsy + lz * b0y
+        wwz = lx * t0z + ly * nsz + lz * b0z
+        trr = jnp.where(active, trr * wr, trr)
+        trg = jnp.where(active, trg * wg, trg)
+        trb = jnp.where(active, trb * wb, trb)
+        active = active & ((trr > 0.0) | (trg > 0.0) | (trb > 0.0))
+        isign = -jnp.sign(dx * ngx + dy * ngy + dz * ngz)
+        off = isign * np.float32(SHADOW_BIAS)
+        ox = jnp.where(active, px + off * ngx, ox)
+        oy = jnp.where(active, py + off * ngy, oy)
+        oz = jnp.where(active, pz + off * ngz, oz)
+        dx = jnp.where(active, wwx, dx)
+        dy = jnp.where(active, wwy, dy)
+        dz = jnp.where(active, wwz, dz)
+        depth = depth + active.astype(jnp.int32)
+        return (it + 1, key, rr_, rg_, rb_, trr, trg, trb, ox, oy, oz,
+                dx, dy, dz, depth, active.astype(jnp.int32))
+
+    return iteration
+
+
 def _mega_grad_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, key_ref,
     g_ref, go_ref, rec_ref, ab_ref, abo_ref, *out_refs, **consts,
@@ -1268,6 +1598,7 @@ def try_make_fused_spp_render(
     scene, statics, camera, width, height, seed, max_depth, nee=True,
     le_depth0_only=None, cosine_sampling=False, interpret=False, force=False,
     mesh=None, mesh_axis="d", pixel_order="raster", nee_mode="all",
+    persistent=True,
 ):
     """Build ``render_chunk(s0, n_spp) -> (radiance_sum (N,3), n_rejected)``
     running the whole spp chunk in one Pallas call, or None if the scene /
@@ -1291,10 +1622,20 @@ def try_make_fused_spp_render(
         return None
     consts, tables, table_specs = baked
     trace = partial(_trace_body, **consts)
+    persist = None
+    if persistent:
+        # persistent lanes for the SURFACE path too (round 4): Cornell GI
+        # measured 39% idle bounce-lane slots in the per-sample kernel
+        iter_kwargs = {k: v for k, v in consts.items()}
+        persist = (
+            partial(_make_surface_iteration, **iter_kwargs),
+            int(max_depth),
+        )
     return make_spp_render(
         trace, tables, table_specs,
         camera, width, height, seed, interpret=interpret,
         mesh=mesh, mesh_axis=mesh_axis, pixel_order=pixel_order,
+        persistent=persist,
     )
 
 
