@@ -177,7 +177,10 @@ def test_analytic_grad_kernel_matches_autodiff():
     pixel_ids, pixel_xy = pixel_grid(w, h)
     n = w * h
     target = jnp.zeros((n, 3))
-    params = {"mat_albedo": tables.mat_albedo, "al_le": tables.al_le}
+    # PERTURBED Le: the fast path's live-Le table must render and
+    # differentiate at the overridden values, not the baked ones
+    params = {"mat_albedo": tables.mat_albedo,
+              "al_le": tables.al_le * 1.3}
 
     radiance = make_radiance_fn(
         tables, statics, camera, w, h, max_depth=3, cosine_sampling=True,
@@ -197,7 +200,12 @@ def test_analytic_grad_kernel_matches_autodiff():
     u = uniform2(keys, CAMERA_SITE)
     wh_ = jnp.asarray([float(w), float(h)])
     rays = camera.sample_rays((pixel_xy + u) / wh_)
-    img, galb, gle = fgrad(rays, keys)
+    from xraytracer_tpu.scene.tables import rejoin_appearance
+
+    scene_p = rejoin_appearance(tables._replace(**params))
+    img, galb, gle = fgrad(
+        rays, keys, tri_rec=scene_p.tri_rec, al_le=params["al_le"]
+    )
 
     # value parity (fused vs wavefront: same stream)
     val_f = float(jnp.mean((img - target) ** 2))

@@ -126,17 +126,15 @@ def try_make_fast_value_and_grad(
 
     Same call signature as ``jax.value_and_grad(make_loss_fn(...))``:
     ``step(params, pixel_ids, pixel_xy, target, sample_idx) ->
-    (loss, grads)`` with grads for ``params`` keys. Only "mat_albedo" is
-    a LIVE parameter (updates flow through the per-call rejoined tri_rec
-    without recompiling). Light emission values are BAKED into the
-    kernel, so an "al_le" override cannot take effect — passing it
-    raises instead of silently descending a stale objective (review
-    finding); set ``le_grads=True`` to additionally receive
-    ``grads["al_le"]`` evaluated at the build-time Le (rebuild the
-    factory after any Le update). Parity-gated against
-    jax.value_and_grad on the autodiff pipeline
-    (tests/test_diff.py::test_analytic_grad_kernel_matches_autodiff).
-    Returns None when the scene isn't megakernel-eligible."""
+    (loss, grads)`` with grads for ``params`` keys. Both "mat_albedo"
+    (through the per-call rejoined tri_rec) and "al_le" (through the
+    kernel's live Le VMEM table) are LIVE parameters — updates take
+    effect without recompiling; ``le_grads=True`` additionally returns
+    ``grads["al_le"]`` when al_le is not being optimized. Parity-gated
+    against jax.value_and_grad on the autodiff pipeline
+    (tests/test_diff.py::test_analytic_grad_kernel_matches_autodiff,
+    including perturbed-Le values). Returns None when the scene isn't
+    megakernel-eligible."""
     import jax.numpy as jnp
 
     from .integrators.megakernel import try_make_fused_grad_path
@@ -151,29 +149,25 @@ def try_make_fast_value_and_grad(
     wh = jnp.asarray([float(width), float(height)])
 
     def step(params, pixel_ids, pixel_xy, target, sample_idx):
-        if "al_le" in params:
-            raise ValueError(
-                "al_le cannot be overridden through the fast analytic "
-                "path (light emission is baked into the kernel; an "
-                "override would silently render at the stale build-time "
-                "Le). Rebuild the factory with the updated tables, or "
-                "request gradients at the baked Le via le_grads=True."
-            )
-        scene = rejoin_appearance(tables._replace(**params))
+        rec_params = {k: v for k, v in params.items() if k != "al_le"}
+        scene = rejoin_appearance(tables._replace(**rec_params))
         keys = path_keys(seed, pixel_ids, sample_idx)
         u = uniform2(keys, CAMERA_SITE)
         rays = camera.sample_rays((pixel_xy + u) / wh)
-        img, galb, gle = fg(rays, keys, tri_rec=scene.tri_rec)
+        img, galb, gle = fg(
+            rays, keys, tri_rec=scene.tri_rec, al_le=params.get("al_le")
+        )
         n = img.shape[0]
         loss = jnp.mean((img - target) ** 2)
         r = 2.0 * (img - target) / (n * 3)
         grads = {}
         if "mat_albedo" in params:
             grads["mat_albedo"] = jnp.einsum("nc,nckm->mk", r, galb)
-        if le_grads:
+        if le_grads or "al_le" in params:
             gl = jnp.einsum("nc,ncl->lc", r, gle)
+            base = params.get("al_le", tables.al_le)
             grads["al_le"] = (
-                jnp.zeros_like(tables.al_le).at[: gl.shape[0]].set(gl)
+                jnp.zeros_like(base).at[: gl.shape[0]].set(gl)
             )
         return loss, grads
 

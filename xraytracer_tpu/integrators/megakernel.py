@@ -298,7 +298,7 @@ def _anyhit_row(f11, go_ref, abo_ref, n_chunks, tc):
 def _trace_body(
     ox, oy, oz, dx, dy, dz, key, g_ref, go_ref, rec_ref, ab_ref, abo_ref,
     *, n_chunks, tc, max_depth, nee, le0, cosine, lights, center,
-    nee_kind="all", pick_pmf=None, pick_cdf=None, grads=None,
+    nee_kind="all", pick_pmf=None, pick_cdf=None, grads=None, le_ref=None,
 ):
     """Whole-path trace for one (RAY_ROWS, RAY_LANES) tile of rays; shared
     by the per-sample kernel (``_mega_kernel``) and the spp-loop render
@@ -342,6 +342,15 @@ def _trace_body(
     trr, trg, trb = one, one, one       # throughput
     rr_, rg_, rb_ = zero, zero, zero    # radiance
     active = jnp.ones(shp, bool)
+
+    def light_le(i, c):
+        """Light ``i``'s emission channel ``c``: a baked constant in the
+        render kernels, a LIVE VMEM-table scalar in the grad kernel (so
+        al_le is an optimizable parameter there)."""
+        if le_ref is None:
+            return np.float32(lights[i]["le"][c])
+        return le_ref[i, c]
+
     if grads is not None:
         n_mats = grads["n_mats"]
         obj_mat = grads["obj_mat"]      # static obj row -> material row
@@ -496,9 +505,9 @@ def _trace_body(
             ler, leg, leb = zero, zero, zero
             for i, L in enumerate(lights):
                 sel = (lrow == np.float32(i)) & on
-                ler = jnp.where(sel, np.float32(L["le"][0]), ler)
-                leg = jnp.where(sel, np.float32(L["le"][1]), leg)
-                leb = jnp.where(sel, np.float32(L["le"][2]), leb)
+                ler = jnp.where(sel, light_le(i, 0), ler)
+                leg = jnp.where(sel, light_le(i, 1), leg)
+                leb = jnp.where(sel, light_le(i, 2), leb)
             rr_ = rr_ + jnp.where(is_emitter, trr * ler, 0.0)
             rg_ = rg_ + jnp.where(is_emitter, trg * leg, 0.0)
             rb_ = rb_ + jnp.where(is_emitter, trb * leb, 0.0)
@@ -543,11 +552,10 @@ def _trace_body(
                     gnx = jnp.full(shp, GN[0])
                     gny = jnp.full(shp, GN[1])
                     gnz = jnp.full(shp, GN[2])
-                    LE = tuple(np.float32(c) for c in L["le"])
                     samples.append((
                         lpx, lpy, lpz, gnx, gny, gnz, pdf_scale,
-                        jnp.full(shp, LE[0]), jnp.full(shp, LE[1]),
-                        jnp.full(shp, LE[2]), one,
+                        zero + light_le(i, 0), zero + light_le(i, 1),
+                        zero + light_le(i, 2), one,
                     ))
             else:
                 # one sampled light per vertex (surface._nee_area_lights
@@ -1104,15 +1112,18 @@ def _make_surface_iteration(
 
 def _mega_grad_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, key_ref,
-    g_ref, go_ref, rec_ref, ab_ref, abo_ref, *out_refs, **consts,
+    g_ref, go_ref, rec_ref, ab_ref, abo_ref, le_ref, *out_refs, **consts,
 ):
     """Analytic-gradient per-sample kernel: radiance + per-lane Jacobians
-    w.r.t. mat_albedo and al_le (see _trace_body ``grads``). Outputs:
-    [rr, rg, rb] + dL[c][cc][m] (c-major) + dE[c][l]."""
+    w.r.t. mat_albedo and al_le (see _trace_body ``grads``). ``le_ref``:
+    (L_pad, 128) VMEM table of LIVE light emissions (cols 0-2) — the grad
+    kernel reads Le from it instead of baked constants so al_le is a real
+    optimizable parameter. Outputs: [rr, rg, rb] + dL[c][cc][m] (c-major)
+    + dE[c][l]."""
     rr_, rg_, rb_, dL, dE = _trace_body(
         ox_ref[...], oy_ref[...], oz_ref[...],
         dx_ref[...], dy_ref[...], dz_ref[...], key_ref[...],
-        g_ref, go_ref, rec_ref, ab_ref, abo_ref, **consts,
+        g_ref, go_ref, rec_ref, ab_ref, abo_ref, le_ref=le_ref, **consts,
     )
     out_refs[0][...] = rr_
     out_refs[1][...] = rg_
@@ -1142,8 +1153,9 @@ def try_make_fused_grad_path(
 
     ``tri_rec`` (optional per-call (T, 32) table, e.g. from
     ``rejoin_appearance`` after a mat_albedo override) makes albedo
-    UPDATES live without recompiling; light Le values stay baked — pass
-    gradients w.r.t. al_le are evaluated at the scene's build-time Le.
+    UPDATES live without recompiling; ``al_le`` (optional per-call (L, 3)
+    table) likewise makes light-emission updates live — the grad kernel
+    reads Le from a VMEM table operand instead of baked constants.
     Returns None when the scene isn't megakernel-eligible."""
     if not force:
         try:
@@ -1173,9 +1185,24 @@ def try_make_fused_grad_path(
         (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     g_c, go_c, rec_c, ab_c, abo_c = tables
+    # live-Le table: (L_pad >= 8, 128) f32, cols 0-2 = al_le rows
+    le_pad = max(8, n_l)
+    le_base = np.zeros((le_pad, 128), np.float32)
+    le_base[:n_l, :3] = np.asarray(scene.al_le)[:n_l]
+    le_base = jnp.asarray(le_base)
+    le_spec = pl.BlockSpec(
+        (le_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
 
-    def f(rays, keys, tri_rec=None):
+    def f(rays, keys, tri_rec=None, al_le=None):
         rec = rec_c if tri_rec is None else tri_rec.reshape(rec_c.shape)
+        if al_le is None:
+            le_t = le_base
+        else:
+            le_t = (
+                jnp.zeros((le_pad, 128), jnp.float32)
+                .at[:n_l, :3].set(al_le[:n_l])
+            )
         n = rays.o.shape[0]
         n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
         n_tiles = n_pad // RAY_TILE
@@ -1195,11 +1222,11 @@ def try_make_fused_grad_path(
         outs = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[io_spec] * 7 + table_specs,
+            in_specs=[io_spec] * 7 + table_specs + [le_spec],
             out_specs=[io_spec] * n_out,
             out_shape=out_shape,
             interpret=interpret,
-        )(*comps, g_c, go_c, rec, ab_c, abo_c)
+        )(*comps, g_c, go_c, rec, ab_c, abo_c, le_t)
 
         def flat(x):
             return x.reshape(-1)[:n]
