@@ -84,13 +84,41 @@ def fit(
 
     opt = optax.adam(lr)
 
+    # fast analytic-gradient path (round 4): forward-pass Jacobians
+    # through the megakernel — ~3.6x reverse mode on chip; both
+    # mat_albedo and al_le are live parameters. Falls back to autodiff
+    # off-TPU / for ineligible scenes. Note the averaged SINGLE-SAMPLE
+    # losses keep a Var(img)/spp term the averaged-render loss lacks —
+    # benign for these bounded surface parameters (converges), but see
+    # the density-descent two-sample-loss note in the module docstring
+    # for where that term bites.
+    from ..diff import try_make_fast_value_and_grad
+
+    fast_step = try_make_fast_value_and_grad(
+        tables, statics, camera, width, height, max_depth=max_depth,
+        nee=True, cosine_sampling=True, seed=seed,
+    )
+
     @jax.jit
     def step(params, opt_state, s):
-        def loss(params):
-            img = render_avg(params, s * spp, spp)
-            return jnp.mean((img - img_t) ** 2)
+        if fast_step is not None:
+            # average `spp` single-sample analytic (loss, grad) estimates
+            def body(k, acc):
+                v, g = fast_step(params, pixel_ids, pixel_xy, img_t,
+                                 s * spp + k)
+                return (acc[0] + v,
+                        jax.tree.map(lambda a, b: a + b, acc[1], g))
 
-        val, grad = jax.value_and_grad(loss)(params)
+            z = jax.tree.map(jnp.zeros_like, params)
+            val, grad = lax.fori_loop(0, spp, body, (jnp.float32(0.0), z))
+            val = val / spp
+            grad = jax.tree.map(lambda g_: g_ / spp, grad)
+        else:
+            def loss(params):
+                img = render_avg(params, s * spp, spp)
+                return jnp.mean((img - img_t) ** 2)
+
+            val, grad = jax.value_and_grad(loss)(params)
         upd, opt_state = opt.update(grad, opt_state)
         params = jax.tree.map(lambda p, u: p + u, params, upd)
         # physical ranges: albedo in [0, 1], emission nonnegative
