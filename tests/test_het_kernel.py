@@ -127,11 +127,76 @@ def test_transmittance_parity(scene, wavefront):
     assert (r > 0).any() and (r < 1).any()
 
 
-def test_large_grid_falls_back(scene):
-    """Grids beyond MAX_BRICKS blocks are ineligible (XLA path keeps
-    serving them)."""
+def test_large_grid_falls_back():
+    """Grids whose ACTIVE brick count exceeds MAX_BRICKS are ineligible
+    (XLA path keeps serving them). A dense 104^3 grid = 13^3 = 2197 active
+    bricks > 2048."""
     big = build_volume_scene(
-        density=np.ones((80, 80, 80), np.float32)
+        density=np.ones((104, 104, 104), np.float32)
     ).build()
     assert het_pack(big) is None
     assert try_make_fused_het_sampler(big, 64, force=True) is None
+
+
+def test_sparse_128_grid_eligible_and_matches_xla():
+    """Round-5 active-brick table: a sparse 128^3 cloud (reference-scale —
+    the old dense bound was 64^3, Src/grid.h:71-77 loads far larger VDBs)
+    is fused-eligible, and the rank-remapped extraction matches the XLA
+    trilinear lookup on a bf16-exact grid, including points in EMPTY
+    (dropped) bricks and outside the grid."""
+    rng = np.random.default_rng(5)
+    g = np.zeros((128, 128, 128), np.float32)
+    # a few dense blobs covering well under the 2048-active-brick cap
+    for _ in range(6):
+        c = rng.integers(16, 112, 3)
+        r = int(rng.integers(8, 20))
+        sl = tuple(slice(int(cc - r), int(cc + r)) for cc in c)
+        g[sl] = rng.uniform(0.2, 1.0, tuple(2 * r for _ in c)).astype(
+            np.float32
+        )
+    g = round_bf16(g)
+    tables = build_volume_scene(density=g).build()
+    pack = het_pack(tables)
+    assert pack is not None
+    n_rows = int(pack["bricks"].shape[0])
+    assert 64 < n_rows <= 2056, n_rows      # genuinely sparse, under cap
+
+    from xraytracer_tpu.media import density_lookup
+    from xraytracer_tpu.media_pallas import (
+        RAY_LANES, RAY_ROWS, _density_rows, _payload_coords,
+    )
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax
+
+    c = dict(pack["consts"])
+    c["nb"] = pack["nb"]
+    npts = RAY_ROWS * RAY_LANES
+    gmin = np.asarray(tables.grid_min, np.float32)
+    gmax = np.asarray(tables.grid_max, np.float32)
+    pts = rng.uniform(
+        gmin - 10.0, gmax + 10.0, (npts, 3)
+    ).astype(np.float32)
+
+    def kernel(px_ref, py_ref, pz_ref, bricks_ref, ids_ref, out_ref):
+        out_ref[...] = _density_rows(
+            (px_ref[...], py_ref[...], pz_ref[...]), bricks_ref, ids_ref,
+            _payload_coords(), c,
+        )
+
+    plane = lambda v: jnp.asarray(v).reshape(RAY_ROWS, RAY_LANES)
+    got = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((RAY_ROWS, RAY_LANES), jnp.float32),
+        interpret=True,
+    )(plane(pts[:, 0]), plane(pts[:, 1]), plane(pts[:, 2]),
+      pack["bricks"], pack["ids"])
+    ref = density_lookup(tables, jnp.asarray(pts))
+    # f32 summation-order tolerance: the kernel sums the weighted
+    # 768-payload, the XLA path sums 8 corners (module docstring)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1), np.asarray(ref), rtol=5e-4, atol=1e-5
+    )
+    # the sparse path exercised both zero and nonzero lookups
+    r = np.asarray(ref)
+    assert (r == 0).any() and (r > 0).any()

@@ -124,6 +124,10 @@ AB_VALID_COL = 6
 # flag so bench_sweep.py can A/B the plain streamed grid on real hardware.
 ENABLE_WORKLIST = True
 
+# MT matmul precision (A/B flag for bench_sweep only — HIGHEST is the
+# correctness requirement, see the geometry-precision gotcha)
+SWEEP_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _sweep_kernel_impl(
     f_ref, g_ref, rec_in, ab_ref, t_ref, i_ref, u_ref, v_ref, rec_out,
@@ -218,6 +222,8 @@ def _sweep_kernel_impl(
         inv_row = tuple(
             1.0 / jnp.where(jnp.abs(d) < tiny, tiny, d) for d in d_row
         )
+        # loop-invariant chunk-local row ids (hoisted out of the chunk loop)
+        local = jax.lax.broadcasted_iota(jnp.int32, (tc, RAY_LANES), 0)
 
         def chunk(c, carry):
             if not cull:
@@ -252,7 +258,7 @@ def _sweep_kernel_impl(
                     g, f,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=SWEEP_PRECISION,
                 )                                          # (4*tc, 512)
                 det = prod[0:tc]
                 u_num = prod[tc:2 * tc]
@@ -286,7 +292,6 @@ def _sweep_kernel_impl(
             )
             inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
             t = jnp.where(ok, t_num * inv_det, 1.0)
-            local = jax.lax.broadcasted_iota(jnp.int32, (tc, RAY_LANES), 0)
             # Tie-break quantization (PARITY.md "nearest-hit tie-break"):
             # replacing the low 7 mantissa bits with the triangle row means
             # two hits within ~2^-17 relative t compare equal in the t field
@@ -305,29 +310,46 @@ def _sweep_kernel_impl(
             bk = jnp.minimum(bk, kmin)
             if anyhit:
                 return bk, bi, bt, bu, bv, brec
-            # winner extraction: the key-matching row's exact f32 values
-            win = key == kmin                              # one row per lane
-            neg = jnp.float32(-3.0e38)
-            t_w = jnp.max(jnp.where(win, t, neg), axis=0, keepdims=True)
-            u_w = jnp.max(
-                jnp.where(win, u_num * inv_det, neg), axis=0, keepdims=True
+            # Winner extraction is gated on ANY lane improving: with
+            # front-to-back traversal the running best settles after the
+            # first few chunks, so most genuine visits improve NO lane —
+            # they then pay only matmul + hit test + key min, skipping the
+            # key-match compare, the three masked reduces, and the record
+            # matmul (~half the measured 2.8 us visit cost). Bitwise-
+            # neutral: when ``better`` is all-false every carry is
+            # unchanged by the extraction path too.
+            def _extract(cr):
+                bt, bu, bv, brec = cr
+                # the key-matching row's exact f32 values
+                win = key == kmin                          # one row per lane
+                neg = jnp.float32(-3.0e38)
+                t_w = jnp.max(jnp.where(win, t, neg), axis=0, keepdims=True)
+                u_w = jnp.max(
+                    jnp.where(win, u_num * inv_det, neg), axis=0,
+                    keepdims=True,
+                )
+                v_w = jnp.max(
+                    jnp.where(win, v_num * inv_det, neg), axis=0,
+                    keepdims=True,
+                )
+                bt = jnp.where(better, t_w, bt)
+                bu = jnp.where(better, u_w, bu)
+                bv = jnp.where(better, v_w, bv)
+                if rec_in is not None:
+                    # one-hot matmul: (32, tc) @ win(tc, 512) -> record
+                    win_f = win.astype(jnp.float32)
+                    rec_w = jax.lax.dot_general(
+                        rec_in[c], win_f,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=SWEEP_PRECISION,
+                    )                                      # (32, 512)
+                    brec = jnp.where(better, rec_w, brec)
+                return bt, bu, bv, brec
+
+            bt, bu, bv, brec = lax.cond(
+                jnp.any(better), _extract, lambda cr: cr, (bt, bu, bv, brec)
             )
-            v_w = jnp.max(
-                jnp.where(win, v_num * inv_det, neg), axis=0, keepdims=True
-            )
-            bt = jnp.where(better, t_w, bt)
-            bu = jnp.where(better, u_w, bu)
-            bv = jnp.where(better, v_w, bv)
-            if rec_in is not None:
-                # one-hot matmul: (32, tc) @ win(tc, 512) -> winner record
-                win_f = win.astype(jnp.float32)
-                rec_w = jax.lax.dot_general(
-                    rec_in[c], win_f,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                          # (32, 512)
-                brec = jnp.where(better, rec_w, brec)
             return bk, bi, bt, bu, bv, brec
 
         # carries persist in the output refs + key scratch across groups
@@ -465,7 +487,7 @@ def _anyhit_kernel(*refs, cpg, tc, cull=True, worklist=False):
                 g, f,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=SWEEP_PRECISION,
             )                                              # (4*tc, 512)
             det = prod[0:tc]
             u_num = prod[tc:2 * tc]

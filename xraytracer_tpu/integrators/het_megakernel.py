@@ -193,7 +193,7 @@ def _cone_sample(mp3, light, lu, lv):
 
 
 def _make_het_iteration(
-    bricks_ref, sg_ref, *,
+    bricks_ref, ids_ref, sg_ref, *,
     cmed, spheres, box, lights, max_depth, nee, max_steps,
     site_pick, site_light, site_tr, g_hg,
 ):
@@ -266,8 +266,8 @@ def _make_het_iteration(
         def _do_track(_):
             return track_sample(
                 o3, d3, t0v, t1v, (trr, trg, trb), key,
-                site + np.int32(_SITE_MEDIUM), has_med, bricks_ref, sg_ref,
-                pcoords, cmed, max_steps,
+                site + np.int32(_SITE_MEDIUM), has_med, bricks_ref,
+                ids_ref, sg_ref, pcoords, cmed, max_steps,
             )
 
         def _skip_track(_):
@@ -362,7 +362,7 @@ def _make_het_iteration(
                 )
                 tr = track_transmittance(
                     p1, p2, key, site + np.int32(site_tr), s_med,
-                    bricks_ref, sg_ref, pcoords, cmed, max_steps,
+                    bricks_ref, ids_ref, sg_ref, pcoords, cmed, max_steps,
                 )
                 cos_sc = wix * dx + wiy * dy + wiz * dz
                 f = hg_phase_val(cos_sc)
@@ -397,7 +397,7 @@ def _make_het_iteration(
 
 
 def _het_trace_body(
-    ox, oy, oz, dx, dy, dz, key, bricks_ref, sg_ref, *,
+    ox, oy, oz, dx, dy, dz, key, bricks_ref, ids_ref, sg_ref, *,
     cmed, spheres, box, lights, n_iterations, max_depth, nee, max_steps,
     site_pick, site_light, site_tr, g_hg,
 ):
@@ -406,7 +406,7 @@ def _het_trace_body(
     shp = ox.shape
     zero = jnp.zeros(shp, jnp.float32)
     iteration = _make_het_iteration(
-        bricks_ref, sg_ref, cmed=cmed, spheres=spheres, box=box,
+        bricks_ref, ids_ref, sg_ref, cmed=cmed, spheres=spheres, box=box,
         lights=lights, max_depth=max_depth, nee=nee, max_steps=max_steps,
         site_pick=site_pick, site_light=site_light, site_tr=site_tr,
         g_hg=g_hg,
@@ -523,14 +523,14 @@ def try_make_fused_het_path_integrator(
     if made is None:
         return None
     consts, pack = made
-    bricks, sg = pack["bricks"], pack["sg"]
+    bricks, brick_ids, sg = pack["bricks"], pack["ids"], pack["sg"]
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, key_ref,
-               bricks_ref, sg_ref, rr_ref, rg_ref, rb_ref):
+               bricks_ref, ids_ref, sg_ref, rr_ref, rg_ref, rb_ref):
         rr, rg, rb = _het_trace_body(
             ox_ref[...], oy_ref[...], oz_ref[...],
             dx_ref[...], dy_ref[...], dz_ref[...], key_ref[...],
-            bricks_ref, sg_ref, **consts,
+            bricks_ref, ids_ref, sg_ref, **consts,
         )
         rr_ref[...] = rr
         rg_ref[...] = rg
@@ -541,6 +541,8 @@ def try_make_fused_het_path_integrator(
     )
     table_specs = [
         pl.BlockSpec(bricks.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(brick_ids.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(sg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -567,7 +569,7 @@ def try_make_fused_het_path_integrator(
             out_specs=[io_spec] * 3,
             out_shape=[out_shape] * 3,
             interpret=interpret,
-        )(*comps, bricks, sg)
+        )(*comps, bricks, brick_ids, sg)
         return jnp.stack(
             [r.reshape(-1)[:n], g.reshape(-1)[:n], b.reshape(-1)[:n]],
             axis=-1,
@@ -604,9 +606,11 @@ def try_make_fused_het_spp_render(
     if made is None:
         return None
     consts, pack = made
-    bricks, sg = pack["bricks"], pack["sg"]
+    bricks, brick_ids, sg = pack["bricks"], pack["ids"], pack["sg"]
     table_specs = [
         pl.BlockSpec(bricks.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(brick_ids.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(sg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -620,7 +624,8 @@ def try_make_fused_het_spp_render(
             int(consts["n_iterations"]),
         )
     return make_spp_render(
-        trace, (bricks, sg), table_specs, camera, width, height, seed,
+        trace, (bricks, brick_ids, sg), table_specs, camera, width, height,
+        seed,
         interpret=interpret, mesh=mesh, mesh_axis=mesh_axis,
         pixel_order=pixel_order, persistent=persist,
     )

@@ -21,11 +21,16 @@ the identical counter-based PCG stream.
 Design notes:
   * Brick table: the grid is cut into 8^3-cell blocks; each block's
     payload is its 9^3 corner lattice (one-cell halo, edge-clamped) padded
-    to 128 lanes -> a (NB, 768) f32 table. Per candidate step and 512-lane
-    row, ``bricks^T @ one_hot`` (one MXU matmul) yields every lane's full
-    brick; the trilinear value is then a VPU weight-product reduce. Cost
-    scales as lanes x total-grid-cells, so eligibility is gated at
-    NB <= 512 blocks (e.g. a 64^3 grid); larger grids keep the XLA path.
+    to 128 lanes -> a (NB_act, 768) **bf16** table holding only ACTIVE
+    (nonzero) bricks sorted by flat id, each row carrying its own id in
+    two bf16-exact payload slots. Per candidate step and 512-lane row, an
+    in-kernel rank (sum of active_ids < bflat) finds the lane's row, then
+    ``bricks^T @ one_hot`` (one MXU matmul) yields every lane's full
+    brick; the trilinear value is a VPU weight-product reduce, zeroed when
+    the extracted id slots don't match (empty brick -> density 0). Cost
+    scales as lanes x OCCUPIED-grid-cells, so eligibility is gated at
+    NB_act <= MAX_BRICKS active blocks (a dense ~101^3 grid, or sparse
+    clouds at 128^3-256^3); larger occupancies keep the XLA path.
   * The matmul runs at DEFAULT (bf16) MXU precision. One-hot entries and
     bf16-rounded payloads are exact in bf16, so the extraction is exact —
     the kernel therefore samples the density field ROUNDED TO BF16
@@ -62,7 +67,18 @@ _SITES_PER_STEP = 4             # must match media.SITES_PER_STEP
 BRICK = 8                       # grid cells per brick edge
 _PAYLOAD = 9 * 9 * 9            # corner lattice incl. +1 halo
 _PAYLOAD_PAD = 768
-MAX_BRICKS = 512                # one-hot matmul eligibility bound
+# ACTIVE-brick cap (round 5): the table holds only bricks whose payload is
+# nonzero, sorted by flat id; lanes find their row with an in-kernel rank
+# (sum of active_ids < bflat) and an id-check zeroes lanes whose brick is
+# empty. One-hot MAC cost therefore scales with the OCCUPIED volume, not
+# the grid extent — a 128^3 cloud at ~25-50% fill costs 2-4x the old 64^3
+# dense bound instead of 8x, and dense grids up to ~101^3 now fit outright.
+MAX_BRICKS = 2048               # one-hot matmul eligibility bound (active)
+# total-brick bound: flat ids are carried through the bf16 extraction as
+# (id % 128, id // 128) payload slots, each exact in bf16 only up to 256
+MAX_TOTAL_BRICKS = 128 * 256    # = 32768 bricks = a 256^3-cell grid
+_SLOT_ID_LO = _PAYLOAD          # payload slot 729: flat brick id % 128
+_SLOT_ID_HI = _PAYLOAD + 1      # payload slot 730: flat brick id // 128
 
 _GOLDEN = np.uint32(0x9E3779B9)
 _M1 = np.uint32(747796405)
@@ -70,6 +86,7 @@ _A1 = np.uint32(2891336453)
 _M2 = np.uint32(277803737)
 _INV24 = np.float32(1.0 / (1 << 24))
 _TINY = np.float32(1e-38)
+_BIG_F = np.float32(3.0e38)
 
 
 def _pcg(x):
@@ -109,17 +126,30 @@ def round_bf16(a):
 
 
 def build_bricks(grid):
-    """(NB, 768) f32 brick table from a (X, Y, Z) grid: block (bx,by,bz)
-    holds the 9^3 corner lattice grid[bx*8 + px, ...] for px,py,pz in
-    [0, 8], edge-clamped; payload index p = (px*9 + py)*9 + pz. Rows padded
-    to a multiple of 8."""
+    """ACTIVE-brick table from a (X, Y, Z) grid.
+
+    Block (bx,by,bz) holds the 9^3 corner lattice grid[bx*8 + px, ...] for
+    px,py,pz in [0, 8], edge-clamped; payload index p = (px*9 + py)*9 + pz.
+    Only bricks with a nonzero payload are kept (sorted by flat id — any
+    point landing in a dropped brick has zero density by construction, and
+    the kernel's id-check returns 0 for it). Payload slots 729/730 carry
+    (id % 128, id // 128) so the bf16 one-hot extraction can verify the
+    selected row (both components are bf16-exact up to MAX_TOTAL_BRICKS).
+
+    Returns ``(bricks, ids, nb, n_active)``: bricks (NB_pad, 768)
+    **bfloat16** (exact: the field is bf16-rounded before packing and the
+    MXU one-hot pass ran at bf16 precision already), ids (NB_pad, 1) f32
+    flat ids (+BIG padding), nb the brick-axis counts, n_active the live
+    row count. NB_pad always exceeds n_active by >= 1 padding row so the
+    rank of an id beyond the last active brick selects a guaranteed-miss
+    row."""
+    import ml_dtypes
+
     g = np.asarray(grid, np.float32)
     nb = [max(1, -(-s // BRICK)) for s in g.shape]
     NB = nb[0] * nb[1] * nb[2]
-    nb_pad = max(8, ((NB + 7) // 8) * 8)
-    bricks = np.zeros((nb_pad, _PAYLOAD_PAD), np.float32)
-    # gather with clamped indices, vectorized over the payload lattice
     px = np.arange(9)
+    rows, ids = [], []
     for bx in range(nb[0]):
         ix = np.minimum(bx * BRICK + px, g.shape[0] - 1)
         for by in range(nb[1]):
@@ -127,9 +157,28 @@ def build_bricks(grid):
             for bz in range(nb[2]):
                 iz = np.minimum(bz * BRICK + px, g.shape[2] - 1)
                 pay = g[np.ix_(ix, iy, iz)]            # (9, 9, 9)
+                if not pay.any():
+                    continue
                 b = (bx * nb[1] + by) * nb[2] + bz
-                bricks[b, :_PAYLOAD] = pay.reshape(-1)
-    return bricks, tuple(nb)
+                row = np.zeros(_PAYLOAD_PAD, np.float32)
+                row[:_PAYLOAD] = pay.reshape(-1)
+                row[_SLOT_ID_LO] = b % 128
+                row[_SLOT_ID_HI] = b // 128
+                rows.append(row)
+                ids.append(b)
+    n_active = len(rows)
+    nb_pad = max(8, ((n_active + 8) // 8) * 8)         # >= 1 padding row
+    bricks = np.zeros((nb_pad, _PAYLOAD_PAD), np.float32)
+    if n_active:
+        bricks[:n_active] = np.stack(rows)
+    # padding rows: id slots -1 (never match a real brick id)
+    bricks[n_active:, _SLOT_ID_LO] = -1.0
+    bricks[n_active:, _SLOT_ID_HI] = -1.0
+    ids_col = np.full((nb_pad, 1), _BIG_F, np.float32)
+    ids_col[:n_active, 0] = np.asarray(ids, np.float32)
+    return (
+        bricks.astype(ml_dtypes.bfloat16), ids_col, tuple(nb), n_active
+    )
 
 
 def _f3(v):
@@ -138,8 +187,11 @@ def _f3(v):
 
 def het_pack(tables):
     """Concrete-table eligibility + baked constants for the fused kernels,
-    or None. Requires exactly one heterogeneous medium and a grid small
-    enough for the VMEM brick table (<= MAX_BRICKS 8^3-cell blocks)."""
+    or None. Requires exactly one heterogeneous medium and a grid whose
+    ACTIVE (nonzero-payload) brick count fits the VMEM table
+    (<= MAX_BRICKS 8^3-cell blocks; total bricks <= MAX_TOTAL_BRICKS so
+    the id slots stay bf16-exact). Sparse reference-scale clouds at
+    128^3-256^3 therefore qualify; a dense grid caps at ~101^3."""
     try:
         med_type = np.asarray(tables.med_type)
     except Exception:               # traced tables: cannot bake
@@ -149,11 +201,13 @@ def het_pack(tables):
         return None
     g = np.asarray(tables.grid_density, np.float32)
     nb = [max(1, -(-s // BRICK)) for s in g.shape]
-    if nb[0] * nb[1] * nb[2] > MAX_BRICKS:
+    if nb[0] * nb[1] * nb[2] > MAX_TOTAL_BRICKS:
         return None
     row = int(het[0])
     gq = round_bf16(g)
-    bricks, nb = build_bricks(gq)
+    bricks, brick_ids, nb, n_active = build_bricks(gq)
+    if n_active > MAX_BRICKS:
+        return None
     # supergrid block maxima over the ROUNDED field, same partition as
     # scene.builder (keeps the piecewise majorants valid upper bounds for
     # the field the kernel actually samples)
@@ -177,6 +231,7 @@ def het_pack(tables):
     return dict(
         row=row,
         bricks=jnp.asarray(bricks),
+        ids=jnp.asarray(brick_ids),
         sg=jnp.asarray(sg_col),
         nb=tuple(int(v) for v in nb),
         consts=dict(
@@ -208,13 +263,22 @@ def _payload_coords():
     return px, py, pz
 
 
-def _density_rows(p3, bricks_ref, pcoords, c):
+def _density_rows(p3, bricks_ref, ids_ref, pcoords, c):
     """Trilinear density of the bf16-rounded grid at world points ``p3``
-    ((8,512) per component), via per-row one-hot MXU brick extraction.
+    ((8,512) per component), via per-row one-hot MXU brick extraction over
+    the ACTIVE-brick table.
 
-    Bit-compatible with media.density_lookup on bf16-exact grids up to f32
-    summation order (the XLA path sums 8 corners, this sums the weighted
-    768-payload; both are exact selections of the same corner values)."""
+    Row lookup is a rank remap: ``local = sum_j (active_ids[j] < bflat)``
+    (a VPU broadcast-compare + sum, ~NB_act vregs — noise next to the
+    payload matmul), then a one-hot over the active rows. A lane whose
+    brick was dropped as empty gets the insertion-point row instead; its
+    extracted (id_lo, id_hi) payload slots then fail the id check and the
+    density is 0 — exactly the value of an all-zero brick. Bit-compatible
+    with media.density_lookup on bf16-exact grids up to f32 summation
+    order (the XLA path sums 8 corners, this sums the weighted
+    768-payload; both are exact selections of the same corner values;
+    the bf16 table stores the bf16-rounded field losslessly and the
+    one-hot pass was already a bf16 MXU pass when the table was f32)."""
     gx, gy, gz = p3
     inside = (
         (gx >= c["gmin"][0]) & (gx <= c["gmax"][0])
@@ -241,13 +305,19 @@ def _density_rows(p3, bricks_ref, pcoords, c):
     lz = i0z - (bzi << 3)
     px, py, pz = pcoords
     nb_rows = bricks_ref.shape[0]
+    ids_col = ids_ref[...]                                  # (NB_pad, 1)
+    tdtype = bricks_ref.dtype
     rows = []
     for r in range(RAY_ROWS):
-        bf = bflat[r:r + 1, :]                              # (1, 512)
+        bfi = bflat[r:r + 1, :]                             # (1, 512)
+        bf = bfi.astype(jnp.float32)
+        local = jnp.sum(
+            (ids_col < bf).astype(jnp.float32), axis=0, keepdims=True
+        ).astype(jnp.int32)                                 # rank remap
         oh = (
             lax.broadcasted_iota(jnp.int32, (nb_rows, RAY_LANES), 0)
-            == bf
-        ).astype(jnp.float32)
+            == local
+        ).astype(tdtype)
         payload = lax.dot_general(
             bricks_ref[...], oh,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -265,9 +335,16 @@ def _density_rows(p3, bricks_ref, pcoords, c):
         wz = jnp.where(pz == lzr, 1.0 - fzr, 0.0) + jnp.where(
             pz == lzr + 1, fzr, 0.0
         )
-        rows.append(
-            jnp.sum(payload * (wx * wy * wz), axis=0, keepdims=True)
+        # id check: the selected row must be THIS lane's brick (empty
+        # bricks are not in the table -> density 0)
+        match = (
+            (payload[_SLOT_ID_LO:_SLOT_ID_LO + 1, :]
+             == (bfi & 127).astype(jnp.float32))
+            & (payload[_SLOT_ID_HI:_SLOT_ID_HI + 1, :]
+               == (bfi >> 7).astype(jnp.float32))
         )
+        val_r = jnp.sum(payload * (wx * wy * wz), axis=0, keepdims=True)
+        rows.append(jnp.where(match, val_r, 0.0))
     val = jnp.concatenate(rows, axis=0)                     # (8, 512)
     return jnp.where(inside, val, 0.0)
 
@@ -419,8 +496,8 @@ def _pick_channel(w0, w1, w2, u):
 
 
 def track_sample(
-    o3, d3, t0v, t1v, tpv, key_v, site, active0, bricks_ref, sg_ref,
-    pcoords, c, max_steps,
+    o3, d3, t0v, t1v, tpv, key_v, site, active0, bricks_ref, ids_ref,
+    sg_ref, pcoords, c, max_steps,
 ):
     """In-kernel weighted delta tracking (media._sample_heterogeneous
     parity) over (8, 512) planes. ``site``: int32 scalar; ``active0``:
@@ -435,7 +512,7 @@ def track_sample(
 
     # entry sigma_a for the first channel pick (Src/medium.cpp:52-54)
     p_entry = tuple(o3[k] + t0v * d3[k] for k in range(3))
-    dens0 = _density_rows(p_entry, bricks_ref, pcoords, c) * c["dm"]
+    dens0 = _density_rows(p_entry, bricks_ref, ids_ref, pcoords, c) * c["dm"]
     sa_init = tuple(c["sigma_a"][k] * dens0 for k in range(3))
     _, m_entry = _tau_to_t(seg_t, seg_m, tau_edges, jnp.zeros_like(t0f))
     m_entry = jnp.maximum(m_entry, 0.0)
@@ -474,7 +551,7 @@ def track_sample(
         t_new, m_loc = _tau_to_t(seg_t, seg_m, tau_edges, tau_new)
         m_safe = jnp.where(m_loc <= 0.0, 1.0, m_loc)
         p3 = tuple(o3[k] + t_new * d3[k] for k in range(3))
-        dens = _density_rows(p3, bricks_ref, pcoords, c) * c["dm"]
+        dens = _density_rows(p3, bricks_ref, ids_ref, pcoords, c) * c["dm"]
         sig_s = tuple(c["sigma_s"][k] * dens for k in range(3))
         sig_a = tuple(c["sigma_a"][k] * dens for k in range(3))
         sig_n = tuple(
@@ -548,15 +625,16 @@ def track_sample(
 
 def _sample_kernel(
     site_ref, ox, oy, oz, dx, dy, dz, t0, t1, tp0, tp1, tp2, key, hmask,
-    bricks_ref, sg_ref, t_out, w0_out, w1_out, w2_out, scat_out, step_out,
-    *, c, max_steps,
+    bricks_ref, ids_ref, sg_ref, t_out, w0_out, w1_out, w2_out, scat_out,
+    step_out, *, c, max_steps,
 ):
     """Fused media._sample_heterogeneous for one (8, 512) tile."""
     t0v, t1v = t0[...], t1[...]
     t_res, w, scat_acc, sstep = track_sample(
         (ox[...], oy[...], oz[...]), (dx[...], dy[...], dz[...]),
         t0v, t1v, (tp0[...], tp1[...], tp2[...]), key[...], site_ref[0],
-        hmask[...] > 0, bricks_ref, sg_ref, _payload_coords(), c, max_steps,
+        hmask[...] > 0, bricks_ref, ids_ref, sg_ref, _payload_coords(), c,
+        max_steps,
     )
     t_out[...] = t_res
     w0_out[...] = w[0]
@@ -567,7 +645,8 @@ def _sample_kernel(
 
 
 def track_transmittance(
-    o3, q3, key_v, site, active0, bricks_ref, sg_ref, pcoords, c, max_steps,
+    o3, q3, key_v, site, active0, bricks_ref, ids_ref, sg_ref, pcoords, c,
+    max_steps,
 ):
     """In-kernel ratio tracking between point planes ``o3`` -> ``q3``
     (media.segment_transmittance het-branch parity; reference:
@@ -591,7 +670,7 @@ def track_transmittance(
         esc = tau_new > tau_total
         t_new, m_loc = _tau_to_t(seg_t, seg_m, tau_edges, tau_new)
         p3 = tuple(o3[k] + t_new * d3[k] for k in range(3))
-        dens = _density_rows(p3, bricks_ref, pcoords, c) * c["dm"]
+        dens = _density_rows(p3, bricks_ref, ids_ref, pcoords, c) * c["dm"]
         m_safe = jnp.where(m_loc <= 0.0, 1.0, m_loc)
         upd = active & ~esc
         trs = []
@@ -617,15 +696,15 @@ def track_transmittance(
 
 
 def _transmittance_kernel(
-    site_ref, p1x, p1y, p1z, p2x, p2y, p2z, key, hmask, bricks_ref, sg_ref,
-    t0_out, t1_out, t2_out, *, c, max_steps,
+    site_ref, p1x, p1y, p1z, p2x, p2y, p2z, key, hmask, bricks_ref,
+    ids_ref, sg_ref, t0_out, t1_out, t2_out, *, c, max_steps,
 ):
     """Fused ratio-tracking transmittance (media.segment_transmittance het
     branch; reference: Src/medium.h:360-386)."""
     tr = track_transmittance(
         (p1x[...], p1y[...], p1z[...]), (p2x[...], p2y[...], p2z[...]),
-        key[...], site_ref[0], hmask[...] > 0, bricks_ref, sg_ref,
-        _payload_coords(), c, max_steps,
+        key[...], site_ref[0], hmask[...] > 0, bricks_ref, ids_ref,
+        sg_ref, _payload_coords(), c, max_steps,
     )
     t0_out[...] = tr[0]
     t1_out[...] = tr[1]
@@ -638,7 +717,7 @@ def _transmittance_kernel(
 
 
 def _pallas_het_call(kernel, n_in, n_out, pack, interpret):
-    bricks, sg = pack["bricks"], pack["sg"]
+    bricks, ids, sg = pack["bricks"], pack["ids"], pack["sg"]
     io = pl.BlockSpec(
         (RAY_ROWS, RAY_LANES), lambda i, s: (i, 0), memory_space=pltpu.VMEM
     )
@@ -650,14 +729,15 @@ def _pallas_het_call(kernel, n_in, n_out, pack, interpret):
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
-            in_specs=[io] * n_in + [full(bricks.shape), full(sg.shape)],
+            in_specs=[io] * n_in + [full(bricks.shape), full(ids.shape),
+                                    full(sg.shape)],
             out_specs=[io] * n_out,
         )
         shp = (n_tiles * RAY_ROWS, RAY_LANES)
         out_shape = [jax.ShapeDtypeStruct(shp, jnp.float32)] * n_out
         return pl.pallas_call(
             kernel, grid_spec=gs, out_shape=out_shape, interpret=interpret,
-        )(site, *planes, bricks, sg)
+        )(site, *planes, bricks, ids, sg)
 
     return call
 
