@@ -129,10 +129,10 @@ def test_transmittance_parity(scene, wavefront):
 
 def test_large_grid_falls_back():
     """Grids whose ACTIVE brick count exceeds MAX_BRICKS are ineligible
-    (XLA path keeps serving them). A dense 104^3 grid = 13^3 = 2197 active
-    bricks > 2048."""
+    (XLA path keeps serving them). A dense 112^3 grid = 14^3 = 2744 active
+    bricks > 2560."""
     big = build_volume_scene(
-        density=np.ones((104, 104, 104), np.float32)
+        density=np.ones((112, 112, 112), np.float32)
     ).build()
     assert het_pack(big) is None
     assert try_make_fused_het_sampler(big, 64, force=True) is None
@@ -159,7 +159,7 @@ def test_sparse_128_grid_eligible_and_matches_xla():
     pack = het_pack(tables)
     assert pack is not None
     n_rows = int(pack["bricks"].shape[0])
-    assert 64 < n_rows <= 2056, n_rows      # genuinely sparse, under cap
+    assert 64 < n_rows <= 2568, n_rows      # genuinely sparse, under cap
 
     from xraytracer_tpu.media import density_lookup
     from xraytracer_tpu.media_pallas import (

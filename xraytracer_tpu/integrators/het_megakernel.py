@@ -57,6 +57,7 @@ _SITE_MEDIUM = 16
 _SITES_PER_STEP = 4
 _TWO_PI = np.float32(2.0 * PI)
 _INV_4PI = np.float32(1.0 / (4.0 * PI))
+_ACC_COLS = 768                 # media_pallas._PAYLOAD_PAD (grad accum)
 
 
 def _f3(v):
@@ -195,7 +196,7 @@ def _cone_sample(mp3, light, lu, lv):
 def _make_het_iteration(
     bricks_ref, ids_ref, sg_ref, *,
     cmed, spheres, box, lights, max_depth, nee, max_steps,
-    site_pick, site_light, site_tr, g_hg,
+    site_pick, site_light, site_tr, g_hg, grad_sampling=False,
 ):
     """One path-loop iteration over (8, 512) planes, shared by the
     whole-path wavefront body (``_het_trace_body``, scalar ``it``) and the
@@ -234,6 +235,11 @@ def _make_het_iteration(
         rr_prob = jnp.minimum((trr + trg + trb) * np.float32(1.0 / 3.0), 1.0)
         u_rr = _u1_at(key, site + np.int32(_SITE_RR))
         do_rr = active & (depth > 0)
+        if grad_sampling:
+            # gradient-friendly estimator (media.py ``grad_sampling``):
+            # RR off + uniform channel pick — unbiased, and the two
+            # history-dependent score terms vanish
+            do_rr = do_rr & False
         active = active & ~(do_rr & (u_rr >= rr_prob))
         boost = 1.0 / jnp.maximum(rr_prob, np.float32(1e-12))
         keep = do_rr & active
@@ -268,6 +274,7 @@ def _make_het_iteration(
                 o3, d3, t0v, t1v, (trr, trg, trb), key,
                 site + np.int32(_SITE_MEDIUM), has_med, bricks_ref,
                 ids_ref, sg_ref, pcoords, cmed, max_steps,
+                chan_uniform=grad_sampling,
             )
 
         def _skip_track(_):
@@ -399,7 +406,7 @@ def _make_het_iteration(
 def _het_trace_body(
     ox, oy, oz, dx, dy, dz, key, bricks_ref, ids_ref, sg_ref, *,
     cmed, spheres, box, lights, n_iterations, max_depth, nee, max_steps,
-    site_pick, site_light, site_tr, g_hg,
+    site_pick, site_light, site_tr, g_hg, grad_sampling=False,
 ):
     """Whole heterogeneous volume path for one (8, 512) tile
     (integrators/volume.py iteration semantics, line for line)."""
@@ -409,7 +416,7 @@ def _het_trace_body(
         bricks_ref, ids_ref, sg_ref, cmed=cmed, spheres=spheres, box=box,
         lights=lights, max_depth=max_depth, nee=nee, max_steps=max_steps,
         site_pick=site_pick, site_light=site_light, site_tr=site_tr,
-        g_hg=g_hg,
+        g_hg=g_hg, grad_sampling=grad_sampling,
     )
     init = (
         jnp.int32(0), key, zero, zero, zero,
@@ -481,7 +488,8 @@ def _eligible_het(scene, statics, max_depth):
     return pack, spheres, box, tuple(lights), int(mrow)
 
 
-def _het_consts(scene, statics, max_depth, nee, max_steps, n_iterations):
+def _het_consts(scene, statics, max_depth, nee, max_steps, n_iterations,
+                grad_sampling=False):
     from ..media import default_max_steps
     from .volume import _nee_site_layout
 
@@ -503,15 +511,21 @@ def _het_consts(scene, statics, max_depth, nee, max_steps, n_iterations):
         site_tr=tr_site,
         g_hg=np.float32(np.asarray(scene.med_g)[mrow]),
     )
+    if grad_sampling:
+        consts["grad_sampling"] = True
     return consts, pack
 
 
 def try_make_fused_het_path_integrator(
     scene, statics, max_depth, nee=False, max_steps=None, n_iterations=None,
-    interpret=False, force=False,
+    interpret=False, force=False, grad_sampling=False,
 ):
     """Build the fused heterogeneous-volume integrate(rays, keys) if the
-    scene qualifies, else None."""
+    scene qualifies, else None. ``integrate`` accepts an optional LIVE
+    brick table (``bricks_t``, from media_pallas.pack_bricks_live) so the
+    differentiable step can re-render an updated density without
+    recompiling; ``grad_sampling`` selects the gradient-friendly estimator
+    variant (RR off, uniform channel pick — media.py)."""
     if not force:
         try:
             if jax.devices()[0].platform != "tpu":
@@ -519,7 +533,7 @@ def try_make_fused_het_path_integrator(
         except Exception:
             return None
     made = _het_consts(scene, statics, max_depth, nee, max_steps,
-                       n_iterations)
+                       n_iterations, grad_sampling=grad_sampling)
     if made is None:
         return None
     consts, pack = made
@@ -547,7 +561,7 @@ def try_make_fused_het_path_integrator(
         pl.BlockSpec(sg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
 
-    def integrate(rays, keys):
+    def integrate(rays, keys, bricks_t=None):
         n = rays.o.shape[0]
         n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
         n_tiles = n_pad // RAY_TILE
@@ -569,13 +583,222 @@ def try_make_fused_het_path_integrator(
             out_specs=[io_spec] * 3,
             out_shape=[out_shape] * 3,
             interpret=interpret,
-        )(*comps, bricks, brick_ids, sg)
+        )(*comps, bricks if bricks_t is None else bricks_t, brick_ids, sg)
         return jnp.stack(
             [r.reshape(-1)[:n], g.reshape(-1)[:n], b.reshape(-1)[:n]],
             axis=-1,
         )
 
     return integrate
+
+
+def _make_het_grad_iteration(
+    bricks_ref, ids_ref, sg_ref, acc_ref, *,
+    cmed, spheres, box, lights, max_depth, nee, max_steps,
+    site_pick, site_light, site_tr, g_hg,
+):
+    """Gradient-REPLAY iteration (the analytic volume-gradient pass B; see
+    media_pallas's round-5 analytic-gradient section). Mirrors
+    ``_make_het_iteration(grad_sampling=True)`` draw for draw, but carries
+    per-lane SUFFIX planes (img_c minus contributions emitted so far) and
+    rfac planes (the loss residual), scatters per-event density-gradient
+    coefficients into ``acc_ref`` via ``track_sample_grad`` /
+    ``track_transmittance_grad``, and accumulates per-lane ∂img_c/∂Le_l
+    planes (``dE``, surface-megakernel style).
+
+    Carry: (it, key, sfr, sfg, sfb, trr, trg, trb, ox, oy, oz, dx, dy, dz,
+    depth, act, dE[3][n_l]...)."""
+    from ..media_pallas import track_sample_grad, track_transmittance_grad
+
+    pcoords = _payload_coords()
+    n_l = len(lights)
+
+    def hg_phase_val(cos_t):
+        denom = 1.0 + g_hg * g_hg - 2.0 * g_hg * cos_t
+        return _INV_4PI * (1.0 - g_hg * g_hg) / (denom * jnp.sqrt(denom))
+
+    def hg_cos(u):
+        if abs(float(g_hg)) < 1e-3:
+            return 2.0 * u - 1.0
+        sqr = (1.0 - g_hg * g_hg) / (1.0 - g_hg + 2.0 * g_hg * u)
+        return (1.0 + g_hg * g_hg - sqr * sqr) / (2.0 * g_hg)
+
+    def iteration(rf3, carry):
+        (it, key, sfr, sfg, sfb, trr, trg, trb, ox, oy, oz, dx, dy, dz,
+         depth, act, dE) = carry
+        shp = ox.shape
+        zero = jnp.zeros(shp, jnp.float32)
+        o3 = (ox, oy, oz)
+        d3 = (dx, dy, dz)
+        site = it * np.int32(SITES_PER_BOUNCE)
+        active = (act > 0) & (depth < max_depth)
+        h = _intersect(o3, d3, spheres, box)
+        active = active & h["hit"]
+        # (no Russian roulette: grad-sampling estimator)
+
+        lrow = h["lrow"]
+        is_emitter = active & (lrow >= 0.0)
+        on = -(dx * h["nsx"] + dy * h["nsy"] + dz * h["nsz"]) > 0.0
+        ler, leg, leb = zero, zero, zero
+        for i, L in enumerate(lights):
+            sel = (lrow == np.float32(i)) & on
+            ler = jnp.where(sel, np.float32(L["le"][0]), ler)
+            leg = jnp.where(sel, np.float32(L["le"][1]), leg)
+            leb = jnp.where(sel, np.float32(L["le"][2]), leb)
+        add_le = is_emitter & (depth == 0) if nee else is_emitter
+        # emit T*Le: decrement the suffix, accumulate dLe
+        t_c = (trr, trg, trb)
+        le_c = (ler, leg, leb)
+        sfr = sfr - jnp.where(add_le, trr * ler, 0.0)
+        sfg = sfg - jnp.where(add_le, trg * leg, 0.0)
+        sfb = sfb - jnp.where(add_le, trb * leb, 0.0)
+        for ci in range(3):
+            for i in range(n_l):
+                dE[ci][i] = dE[ci][i] + jnp.where(
+                    add_le & (lrow == np.float32(i)) & on, t_c[ci], 0.0
+                )
+        active = active & ~is_emitter
+
+        has_med = active & h["box_win"]
+        t0v = jnp.where(has_med, h["t"], 0.0)
+        t1v = jnp.where(has_med, h["t1"], 0.0)
+        # suffix AFTER the Le emit — every tracking event's factor
+        # multiplies exactly the contributions still pending
+        suffix3 = (sfr, sfg, sfb)
+
+        def _do_track(_):
+            return track_sample_grad(
+                o3, d3, t0v, t1v, key, site + np.int32(_SITE_MEDIUM),
+                has_med, rf3, suffix3, bricks_ref, ids_ref, sg_ref,
+                acc_ref, pcoords, cmed, max_steps,
+            )
+
+        def _skip_track(_):
+            return (
+                t1v + np.float32(RAY_EPS),
+                (jnp.ones(shp), jnp.ones(shp), jnp.ones(shp)),
+                jnp.zeros(shp, jnp.int32), jnp.zeros(shp, jnp.int32),
+            )
+
+        t_res, w, scat_acc, sstep = lax.cond(
+            jnp.any(has_med), _do_track, _skip_track, 0
+        )
+        bad = jnp.isnan(w[0]) | jnp.isnan(w[1]) | jnp.isnan(w[2])
+        w = tuple(jnp.where(bad, 0.0, wc) for wc in w)
+        scattered = has_med & (scat_acc > 0)
+
+        u_p1, u_p2 = _u2_at(
+            key,
+            site + np.int32(_SITE_MEDIUM)
+            + sstep * np.int32(_SITES_PER_STEP) + np.int32(3),
+        )
+        cos_t = hg_cos(u_p1)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = _TWO_PI * u_p2
+        lx = jnp.cos(phi) * sin_t
+        lz = jnp.sin(phi) * sin_t
+        (t0x, t0y, t0z), (b0x, b0y, b0z) = _duff_onb(dx, dy, dz)
+        ndx = lx * t0x + cos_t * dx + lz * b0x
+        ndy = lx * t0y + cos_t * dy + lz * b0y
+        ndz = lx * t0z + cos_t * dz + lz * b0z
+        mpx = ox + t_res * dx
+        mpy = oy + t_res * dy
+        mpz = oz + t_res * dz
+
+        if nee and lights:
+            def _do_nee(args):
+                sfr, sfg, sfb, dE_flat = args
+                n_lf = len(lights)
+                u_pick = _u1_at(key, site + np.int32(site_pick))
+                lidx = jnp.minimum(
+                    (u_pick * np.float32(n_lf)).astype(jnp.int32), n_lf - 1
+                )
+                lu, lv = _u2_at(key, site + np.int32(site_light))
+                mp3 = (mpx, mpy, mpz)
+                wix = jnp.zeros(shp)
+                wiy = jnp.zeros(shp)
+                wiz = jnp.zeros(shp)
+                pdf = jnp.zeros(shp)
+                ler2, leg2, leb2 = zero, zero, zero
+                front_sel = zero.astype(bool)
+                for i, L in enumerate(lights):
+                    wi3, _tm, pdf_i, front = _cone_sample(mp3, L, lu, lv)
+                    sel = lidx == i
+                    wix = jnp.where(sel, wi3[0], wix)
+                    wiy = jnp.where(sel, wi3[1], wiy)
+                    wiz = jnp.where(sel, wi3[2], wiz)
+                    pdf = jnp.where(sel, pdf_i * np.float32(1.0 / n_lf),
+                                    pdf)
+                    fr = sel & front
+                    front_sel = jnp.where(sel, front, front_sel)
+                    ler2 = jnp.where(fr, np.float32(L["le"][0]), ler2)
+                    leg2 = jnp.where(fr, np.float32(L["le"][1]), leg2)
+                    leb2 = jnp.where(fr, np.float32(L["le"][2]), leb2)
+                ok_ = scattered & (pdf > 0.0)
+                sh = _intersect(mp3, (wix, wiy, wiz), spheres, box)
+                s_med = ok_ & sh["box_win"]
+                p1 = tuple(mp3[k] + sh["t"] * wv
+                           for k, wv in enumerate((wix, wiy, wiz)))
+                p2 = tuple(
+                    jnp.where(s_med, mp3[k] + sh["t1"] * wv, p1[k])
+                    for k, wv in enumerate((wix, wiy, wiz))
+                )
+                tr = track_transmittance(
+                    p1, p2, key, site + np.int32(site_tr), s_med,
+                    bricks_ref, ids_ref, sg_ref, pcoords, cmed, max_steps,
+                )
+                cos_sc = wix * dx + wiy * dy + wiz * dz
+                f = hg_phase_val(cos_sc)
+                pdfs = jnp.where(pdf == 0.0, 1.0, pdf)
+                coef = jnp.where(ok_, f / pdfs, 0.0)
+                le2 = (ler2, leg2, leb2)
+                contrib = tuple(
+                    t_c[ci] * w[ci] * tr[ci] * le2[ci] * coef
+                    for ci in range(3)
+                )
+                # Le gradient: d contrib_c / d Le_{picked, c} — nonzero
+                # only for the picked, front-facing light of valid lanes
+                for ci in range(3):
+                    for i in range(n_lf):
+                        dE_flat[ci][i] = dE_flat[ci][i] + jnp.where(
+                            (lidx == i) & front_sel & ok_,
+                            t_c[ci] * w[ci] * tr[ci] * coef,
+                            0.0,
+                        )
+                # transmittance density-gradient replay (pend includes the
+                # FULL contribution — each tr factor multiplies it once)
+                pend3 = tuple(rf3[ci] * contrib[ci] for ci in range(3))
+                track_transmittance_grad(
+                    p1, p2, key, site + np.int32(site_tr), s_med, pend3,
+                    bricks_ref, ids_ref, sg_ref, acc_ref, pcoords, cmed,
+                    max_steps,
+                )
+                return (sfr - contrib[0], sfg - contrib[1],
+                        sfb - contrib[2], dE_flat)
+
+            def _skip_nee(args):
+                return args
+
+            sfr, sfg, sfb, dE = lax.cond(
+                jnp.any(scattered), _do_nee, _skip_nee, (sfr, sfg, sfb, dE)
+            )
+
+        ox = jnp.where(has_med, mpx, ox)
+        oy = jnp.where(has_med, mpy, oy)
+        oz = jnp.where(has_med, mpz, oz)
+        dx = jnp.where(scattered, ndx, dx)
+        dy = jnp.where(scattered, ndy, dy)
+        dz = jnp.where(scattered, ndz, dz)
+        trr = jnp.where(has_med, trr * w[0], trr)
+        trg = jnp.where(has_med, trg * w[1], trg)
+        trb = jnp.where(has_med, trb * w[2], trb)
+        depth = depth + scattered.astype(jnp.int32)
+        active = active & has_med & ((trr > 0.0) | (trg > 0.0)
+                                     | (trb > 0.0))
+        return (it + 1, key, sfr, sfg, sfb, trr, trg, trb, ox, oy, oz,
+                dx, dy, dz, depth, active.astype(jnp.int32), dE)
+
+    return iteration
 
 
 def try_make_fused_het_spp_render(
@@ -629,3 +852,190 @@ def try_make_fused_het_spp_render(
         interpret=interpret, mesh=mesh, mesh_axis=mesh_axis,
         pixel_order=pixel_order, persistent=persist,
     )
+
+
+def try_make_fused_het_value_and_grad(
+    tables, statics, camera, width, height, max_depth, nee=True,
+    max_steps=None, n_iterations=None, seed=0, interpret=False, force=False,
+):
+    """Forward-speed ANALYTIC value_and_grad of the L2 image loss for the
+    fused heterogeneous volume path — the volume counterpart of
+    diff.try_make_fast_value_and_grad (round-4's surface analytic-gradient
+    megakernel, extended per the round-4 verdict item 3).
+
+    Two passes at forward cost (no tape, no transpose): pass A renders the
+    image with the GRAD-SAMPLING estimator (RR off + uniform channel pick
+    — media.py ``grad_sampling``; unbiased, reference-noMIS-style); pass B
+    replays the identical RNG stream and scatters per-event density
+    log-derivatives times the per-lane contribution SUFFIX into a VMEM
+    brick-layout accumulator (media_pallas analytic-gradient section),
+    plus per-lane ∂img/∂al_le planes. Gradients exactly match
+    jax.grad of the wavefront
+    ``make_volume_integrator(differentiable=True, score_terms=True,
+    grad_sampling=True)`` path on a bf16-exact grid (parity test:
+    tests/test_het_grad_kernel.py) up to f32 summation order.
+
+    Returns ``step(params, pixel_ids, pixel_xy, target, sample_idx) ->
+    (loss, grads)`` with live params {"grid_density", "al_le"} (density
+    updates re-pack the brick payload per call — active set and majorants
+    stay fixed at build, the documented score-terms caveat), or None when
+    the scene is ineligible (het-megakernel eligibility + the gradient
+    accumulator VMEM bound)."""
+    from ..camera import PinholeCamera
+    from ..media_pallas import pack_bricks_live, unbrick_grad
+    from ..renderer import CAMERA_SITE
+    from ..sampling import path_keys, uniform2
+
+    if not force:
+        try:
+            if jax.devices()[0].platform != "tpu":
+                return None
+        except Exception:
+            return None
+    if not isinstance(camera, PinholeCamera):
+        return None
+    made = _het_consts(tables, statics, max_depth, nee, max_steps,
+                       n_iterations, grad_sampling=True)
+    if made is None:
+        return None
+    consts, pack = made
+    bricks, brick_ids, sg = pack["bricks"], pack["ids"], pack["sg"]
+    nb_pad = int(bricks.shape[0])
+    if nb_pad > 1024:
+        # acc (NB_pad, 768) f32 must fit VMEM next to the brick table
+        return None
+    n_iter = int(consts["n_iterations"])
+    lights = consts["lights"]
+    n_l = len(lights)
+    giter_kwargs = {k: v for k, v in consts.items()
+                    if k not in ("n_iterations", "grad_sampling")}
+
+    fwd = try_make_fused_het_path_integrator(
+        tables, statics, max_depth, nee=nee, max_steps=max_steps,
+        n_iterations=n_iterations, interpret=interpret, force=force,
+        grad_sampling=True,
+    )
+    if fwd is None:
+        return None
+
+    io_spec = pl.BlockSpec(
+        (RAY_ROWS, RAY_LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    table_specs = [
+        pl.BlockSpec(bricks.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(brick_ids.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(sg.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    acc_spec = pl.BlockSpec(
+        (nb_pad, _ACC_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    n_de = 3 * n_l
+
+    def kernel(*refs):
+        (ox, oy, oz, dx, dy, dz, key, ir, ig, ib, fr, fg, fb,
+         bricks_ref, ids_ref, sg_ref) = refs[:16]
+        out_refs = refs[16:]
+        acc_ref = out_refs[-1]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros((nb_pad, _ACC_COLS), jnp.float32)
+
+        iteration = _make_het_grad_iteration(
+            bricks_ref, ids_ref, sg_ref, acc_ref, **giter_kwargs
+        )
+        rf3 = (fr[...], fg[...], fb[...])
+        z = ox[...] * 0.0
+        iz = z.astype(jnp.int32)
+        dE = [[z for _ in range(n_l)] for _ in range(3)]
+        init = (
+            jnp.int32(0), key[...], ir[...], ig[...], ib[...],
+            z + 1.0, z + 1.0, z + 1.0,
+            ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
+            iz, iz + 1, dE,
+        )
+        out = lax.while_loop(
+            lambda cr: (cr[0] < np.int32(n_iter))
+            & (jnp.sum(cr[15]) > 0),
+            lambda cr: iteration(rf3, cr),
+            init,
+        )
+        dE = out[16]
+        k = 0
+        for ci in range(3):
+            for li in range(n_l):
+                out_refs[k][...] = dE[ci][li]
+                k += 1
+
+    def grad_call(rays, keys, img, rfac, bricks_t):
+        n = rays.o.shape[0]
+        n_pad = ((n + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+        n_tiles = n_pad // RAY_TILE
+        grid_rows = n_tiles * RAY_ROWS
+
+        def lane(x):
+            if n_pad != n:
+                x = jnp.pad(x, (0, n_pad - n))
+            return x.reshape(grid_rows, RAY_LANES)
+
+        comps = [lane(rays.o[:, 0]), lane(rays.o[:, 1]), lane(rays.o[:, 2]),
+                 lane(rays.d[:, 0]), lane(rays.d[:, 1]), lane(rays.d[:, 2]),
+                 lane(keys.astype(jnp.uint32)),
+                 lane(img[:, 0]), lane(img[:, 1]), lane(img[:, 2]),
+                 lane(rfac[:, 0]), lane(rfac[:, 1]), lane(rfac[:, 2])]
+        plane_shape = jax.ShapeDtypeStruct(
+            (grid_rows, RAY_LANES), jnp.float32
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[io_spec] * 13 + table_specs,
+            out_specs=[io_spec] * n_de + [acc_spec],
+            out_shape=[plane_shape] * n_de + [
+                jax.ShapeDtypeStruct((nb_pad, _ACC_COLS), jnp.float32)
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)
+            ),
+            interpret=interpret,
+        )(*comps, bricks_t, brick_ids, sg)
+        dE = outs[:n_de]
+        acc = outs[-1]
+
+        def flat(x):
+            return x.reshape(-1)[:n]
+
+        gle = jnp.stack(
+            [flat(o) for o in dE], -1
+        ).reshape(n, 3, n_l) if n_de else jnp.zeros((n, 3, 0))
+        return gle, acc
+
+    wh = jnp.asarray([float(width), float(height)])
+    le_base = np.asarray(tables.al_le)
+
+    def step(params, pixel_ids, pixel_xy, target, sample_idx):
+        n = pixel_ids.shape[0]
+        grid = params.get("grid_density", tables.grid_density)
+        bricks_t = pack_bricks_live(grid, pack)
+        keys = path_keys(seed, pixel_ids, sample_idx)
+        u = uniform2(keys, CAMERA_SITE)
+        rays = camera.sample_rays((pixel_xy + u) / wh)
+        img = fwd(rays, keys, bricks_t)
+        loss = jnp.mean((img - target) ** 2)
+        rfac = 2.0 * (img - target) / (n * 3)
+        gle, acc = grad_call(rays, keys, img, rfac, bricks_t)
+        grads = {}
+        if "grid_density" in params:
+            grads["grid_density"] = unbrick_grad(acc, pack)
+        if "al_le" in params:
+            gl = jnp.einsum("nc,ncl->lc", rfac, gle)
+            base = params["al_le"]
+            grads["al_le"] = (
+                jnp.zeros_like(base).at[: gl.shape[0]].set(gl)
+            )
+        return loss, grads
+
+    step.n_lights = n_l
+    return step

@@ -71,7 +71,8 @@ def make_furnace_integrator(scene, tri_fn=None, cosine_sampling=False):
 
 def _nee_area_lights(
     scene, statics, hit, d_in, throughput, keys, site0, tri_fn,
-    mis=False, cosine_sampling=False, nee_mode="all",
+    mis=False, cosine_sampling=False, nee_mode="all", active=None,
+    park=None,
 ):
     """Per-vertex NEE over area lights.
 
@@ -134,9 +135,28 @@ def _nee_area_lights(
             u2 = uniform2(keys, site0 + i)
             ls = sample_area_light(scene, lidx, hit.position, u2)
         ok = ls.pdf > 0.0
-        srays = Rays(o=hit.position + hit.ng * SHADOW_BIAS, d=ls.wi)
-        vis = ~occluded(scene, srays, ls.t_max - SHADOW_BIAS, tri_fn=tri_fn)
         cos = jnp.maximum(0.0, dot(hit.ng, ls.wi))
+        so = hit.position + hit.ng * SHADOW_BIAS
+        sd = ls.wi
+        tmax = ls.t_max - SHADOW_BIAS
+        if active is not None and park is not None:
+            # Park shadow rays whose contribution is already masked to
+            # zero (dead / emitter / RR-killed lanes, backfacing or
+            # zero-pdf vertices): origin outside the scene and t_max = 0,
+            # so the sweep worklist / per-row slab gates prune every chunk
+            # candidate these lanes would otherwise keep alive (the sweep
+            # culls per 512-lane ROW — one stale lane keeps a chunk's
+            # matmul running for the whole row). Image-bitwise-neutral:
+            # ``vis`` is only consumed through (vis & ok) * cos, which is
+            # zero for every parked lane.
+            live = active & ok & (cos > 0.0)
+            park_o, park_d = park
+            lm = live[:, None]
+            so = jnp.where(lm, so, park_o)
+            sd = jnp.where(lm, sd, park_d)
+            tmax = jnp.where(live, tmax, 0.0)
+        srays = Rays(o=so, d=sd)
+        vis = ~occluded(scene, srays, tmax, tri_fn=tri_fn)
         wo_l = world_to_local(-d_in, hit.dpdu, hit.ns, hit.dpdv)
         wi_l = world_to_local(ls.wi, hit.dpdu, hit.ns, hit.dpdv)
         fr = eval_bsdf_direct(hit.mtype, hit.albedo, wo_l, wi_l)
@@ -325,7 +345,8 @@ def make_path_integrator(
                     scene, statics, hit, d, throughput, keys_l,
                     site + _SITE_LIGHT0, tri_fn,
                     mis=mis, cosine_sampling=cosine_sampling,
-                    nee_mode=nee_mode,
+                    nee_mode=nee_mode, active=active,
+                    park=(park_o, park_d) if sort_on else None,
                 )
                 radiance = radiance + jnp.where(
                     active[:, None], throughput * direct, 0.0

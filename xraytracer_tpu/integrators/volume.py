@@ -57,7 +57,7 @@ def _nee_site_layout(max_steps):
 def make_volume_integrator(
     scene, statics, max_depth, nee=False, max_steps=None, tri_fn=None,
     n_iterations=None, differentiable=False, with_stats=False, fused="auto",
-    unroll=None, score_terms=False,
+    unroll=None, score_terms=False, grad_sampling=False,
 ):
     """Factory for both volume integrators (``nee`` selects the variant).
 
@@ -81,6 +81,15 @@ def make_volume_integrator(
     by the optimizer — keep optimized densities below the majorants baked
     at build time (e.g. build the scene with an upper-bound grid) or the
     sig_n clamp introduces bias.
+
+    ``grad_sampling``: the gradient-friendly estimator variant shared
+    with the fused analytic-gradient kernel
+    (het_megakernel.try_make_fused_het_value_and_grad): Russian roulette
+    OFF and a uniform channel pick (the reference's own noMIS strategy,
+    Src/medium.h:234-277). Both changes keep the estimator unbiased;
+    they remove the two score terms whose probabilities depend on the
+    whole throughput history, which the analytic kernel cannot carry
+    per-voxel. The parity test runs BOTH paths with this flag.
 
     ``with_stats`` (SURVEY.md §5 metrics): ``integrate`` returns
     ``(radiance, stats)`` with per-iteration int32 counters ("rays",
@@ -177,6 +186,8 @@ def make_volume_integrator(
             rr_prob = jnp.minimum(jnp.mean(throughput, axis=-1), 1.0)
             u_rr = uniform1(keys, site + _SITE_RR)
             do_rr = active & (depth > 0)
+            if grad_sampling:
+                do_rr = do_rr & False   # RR off (see docstring)
             killed = do_rr & (u_rr >= rr_prob)
             active = active & ~killed
             boost = 1.0 / jnp.maximum(rr_prob, 1e-12)
@@ -210,7 +221,7 @@ def make_volume_integrator(
                 throughput, keys, site + _SITE_MEDIUM, max_steps=max_steps,
                 has_heterogeneous=statics["has_heterogeneous"],
                 differentiable=differentiable, het_fn=het_fn,
-                score_terms=score_terms,
+                score_terms=score_terms, chan_uniform=grad_sampling,
             )
             scattered = has_med & ms.scattered
 

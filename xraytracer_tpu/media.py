@@ -352,6 +352,7 @@ def _score_ratio(p, p_min=1e-5):
 def _sample_heterogeneous(
     scene, med, rays, t0, t1, path_throughput, keys, site, max_steps,
     differentiable=False, het_mask=None, score_terms=False,
+    chan_uniform=False,
 ):
     """Weighted delta tracking with spectral MIS (reference:
     Src/medium.cpp:45-133), as a bounded masked ``while_loop`` over
@@ -396,7 +397,18 @@ def _sample_heterogeneous(
         alb = jnp.maximum(
             (m_prev[:, None] - sigma_a) / m_prev_s[:, None], 0.0
         )
-        channel, pmf = sample_channel(path_throughput * w_track * alb, u_wl)
+        # chan_uniform: the reference's noMIS uniform channel pick
+        # (Src/medium.h:234-277). Used by the gradient paths: a pick pmf
+        # that depends on throughput/albedo couples every event to all
+        # PAST density lookups through its score term, which the analytic
+        # forward-pass gradient kernel cannot carry per voxel; a uniform
+        # pick is theta-free (no score), keeps the estimator unbiased, and
+        # costs some spectral-MIS variance.
+        pick_w = (
+            jnp.ones_like(alb) if chan_uniform
+            else path_throughput * w_track * alb
+        )
+        channel, pmf = sample_channel(pick_w, u_wl)
 
         dtau = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-38))   # Exp(1) in tau
         tau_new = tau + dtau
@@ -515,6 +527,7 @@ def sample_medium(
     scene, med_idx, rays, t0, t1, path_throughput, keys, site,
     max_steps=256, has_heterogeneous=True, has_homogeneous=True,
     differentiable=False, het_fn=None, score_terms=False,
+    chan_uniform=False,
 ):
     """Wavefront ``Object::sampleMedium`` dispatch (reference:
     Src/primitive.cpp:63-74 -> Src/medium.h:148-277 / Src/medium.cpp:45-133).
@@ -550,6 +563,7 @@ def sample_medium(
                     scene, med, rays, t0, t1, path_throughput, keys, site,
                     max_steps, differentiable=differentiable,
                     het_mask=het_mask, score_terms=score_terms,
+                    chan_uniform=chan_uniform,
                 )
             )
         masks.append(het_mask)

@@ -71,9 +71,9 @@ _PAYLOAD_PAD = 768
 # nonzero, sorted by flat id; lanes find their row with an in-kernel rank
 # (sum of active_ids < bflat) and an id-check zeroes lanes whose brick is
 # empty. One-hot MAC cost therefore scales with the OCCUPIED volume, not
-# the grid extent — a 128^3 cloud at ~25-50% fill costs 2-4x the old 64^3
-# dense bound instead of 8x, and dense grids up to ~101^3 now fit outright.
-MAX_BRICKS = 2048               # one-hot matmul eligibility bound (active)
+# the grid extent — a 128^3 cloud at ~25-50% fill costs 2-5x the old 64^3
+# dense bound instead of 8x, and dense grids up to ~108^3 now fit outright.
+MAX_BRICKS = 2560               # one-hot matmul eligibility bound (active)
 # total-brick bound: flat ids are carried through the bf16 extraction as
 # (id % 128, id // 128) payload slots, each exact in bf16 only up to 256
 MAX_TOTAL_BRICKS = 128 * 256    # = 32768 bricks = a 256^3-cell grid
@@ -149,7 +149,7 @@ def build_bricks(grid):
     nb = [max(1, -(-s // BRICK)) for s in g.shape]
     NB = nb[0] * nb[1] * nb[2]
     px = np.arange(9)
-    rows, ids = [], []
+    rows, ids, corner_idx = [], [], []
     for bx in range(nb[0]):
         ix = np.minimum(bx * BRICK + px, g.shape[0] - 1)
         for by in range(nb[1]):
@@ -166,6 +166,13 @@ def build_bricks(grid):
                 row[_SLOT_ID_HI] = b // 128
                 rows.append(row)
                 ids.append(b)
+                # flat-grid corner indices of this payload (live re-pack
+                # + gradient un-brick both use them)
+                fi = (
+                    (ix[:, None, None] * g.shape[1] + iy[None, :, None])
+                    * g.shape[2] + iz[None, None, :]
+                )
+                corner_idx.append(fi.reshape(-1))
     n_active = len(rows)
     nb_pad = max(8, ((n_active + 8) // 8) * 8)         # >= 1 padding row
     bricks = np.zeros((nb_pad, _PAYLOAD_PAD), np.float32)
@@ -176,8 +183,13 @@ def build_bricks(grid):
     bricks[n_active:, _SLOT_ID_HI] = -1.0
     ids_col = np.full((nb_pad, 1), _BIG_F, np.float32)
     ids_col[:n_active, 0] = np.asarray(ids, np.float32)
+    cidx = (
+        np.stack(corner_idx).astype(np.int32) if n_active
+        else np.zeros((0, _PAYLOAD), np.int32)
+    )
     return (
-        bricks.astype(ml_dtypes.bfloat16), ids_col, tuple(nb), n_active
+        bricks.astype(ml_dtypes.bfloat16), ids_col, tuple(nb), n_active,
+        cidx,
     )
 
 
@@ -205,7 +217,7 @@ def het_pack(tables):
         return None
     row = int(het[0])
     gq = round_bf16(g)
-    bricks, brick_ids, nb, n_active = build_bricks(gq)
+    bricks, brick_ids, nb, n_active, corner_idx = build_bricks(gq)
     if n_active > MAX_BRICKS:
         return None
     # supergrid block maxima over the ROUNDED field, same partition as
@@ -233,6 +245,9 @@ def het_pack(tables):
         bricks=jnp.asarray(bricks),
         ids=jnp.asarray(brick_ids),
         sg=jnp.asarray(sg_col),
+        n_active=n_active,
+        corner_idx=corner_idx,
+        grid_shape=tuple(int(v) for v in g.shape),
         nb=tuple(int(v) for v in nb),
         consts=dict(
             gmin=_f3(gmin), gmax=_f3(gmax), ext=_f3(ext),
@@ -244,6 +259,40 @@ def het_pack(tables):
             majorant=np.float32(np.asarray(tables.med_majorant)[row]),
         ),
     )
+
+
+def pack_bricks_live(grid, pack):
+    """Re-pack the brick payload table from a LIVE (traced) density grid
+    with the ACTIVE SET fixed at build time (same caveat as the majorant
+    tables: the optimizer must keep mass inside the initially-active
+    bricks — media.py score-terms docstring). The payload is bf16-rounded
+    exactly like ``build_bricks``; id slots and padding come from the
+    baked template."""
+    import ml_dtypes
+
+    tmpl = jnp.asarray(np.asarray(pack["bricks"], np.float32))
+    n_act = pack["n_active"]
+    if n_act == 0:
+        return tmpl.astype(ml_dtypes.bfloat16)
+    pay = jnp.asarray(grid).reshape(-1)[
+        jnp.asarray(pack["corner_idx"]).reshape(-1)
+    ].reshape(n_act, _PAYLOAD)
+    t = tmpl.at[:n_act, :_PAYLOAD].set(pay)
+    return t.astype(ml_dtypes.bfloat16)
+
+
+def unbrick_grad(acc, pack):
+    """Fold a (NB_pad, 768) brick-layout gradient accumulator back onto
+    the dense grid (scatter-ADD: halo corners shared by up to 8 bricks
+    arrive as separate rows)."""
+    n_act = pack["n_active"]
+    shape = pack["grid_shape"]
+    flat = jnp.zeros(int(np.prod(shape)), jnp.float32)
+    if n_act:
+        flat = flat.at[jnp.asarray(pack["corner_idx"]).reshape(-1)].add(
+            acc[:n_act, :_PAYLOAD].reshape(-1)
+        )
+    return flat.reshape(shape)
 
 
 # --------------------------------------------------------------------------
@@ -497,25 +546,36 @@ def _pick_channel(w0, w1, w2, u):
 
 def track_sample(
     o3, d3, t0v, t1v, tpv, key_v, site, active0, bricks_ref, ids_ref,
-    sg_ref, pcoords, c, max_steps,
+    sg_ref, pcoords, c, max_steps, chan_uniform=False,
 ):
     """In-kernel weighted delta tracking (media._sample_heterogeneous
     parity) over (8, 512) planes. ``site``: int32 scalar; ``active0``:
     bool plane. Returns (t_res, (w0, w1, w2), scattered(int32),
     scat_step(int32)) — the phase direction is drawn by the caller at
-    site + scat_step*SITES_PER_STEP + 3."""
+    site + scat_step*SITES_PER_STEP + 3.
+
+    ``chan_uniform``: uniform channel pick (media.py ``chan_uniform`` /
+    the reference's noMIS strategy, Src/medium.h:234-277) — the
+    gradient-friendly estimator variant; the entry density lookup (only
+    ever consumed by the throughput-weighted pick) is skipped."""
     t0f = t0v
     t1f = jnp.maximum(t1v, t0f)
 
     seg_t, seg_m, tau_edges = _dda_segments(o3, d3, t0f, t1f, sg_ref, c)
     tau_total = tau_edges[-1] - np.float32(RAY_EPS) * c["majorant"]
 
-    # entry sigma_a for the first channel pick (Src/medium.cpp:52-54)
-    p_entry = tuple(o3[k] + t0v * d3[k] for k in range(3))
-    dens0 = _density_rows(p_entry, bricks_ref, ids_ref, pcoords, c) * c["dm"]
-    sa_init = tuple(c["sigma_a"][k] * dens0 for k in range(3))
-    _, m_entry = _tau_to_t(seg_t, seg_m, tau_edges, jnp.zeros_like(t0f))
-    m_entry = jnp.maximum(m_entry, 0.0)
+    if chan_uniform:
+        sa_init = (jnp.zeros_like(t0f),) * 3
+        m_entry = jnp.zeros_like(t0f)
+    else:
+        # entry sigma_a for the first channel pick (Src/medium.cpp:52-54)
+        p_entry = tuple(o3[k] + t0v * d3[k] for k in range(3))
+        dens0 = _density_rows(
+            p_entry, bricks_ref, ids_ref, pcoords, c
+        ) * c["dm"]
+        sa_init = tuple(c["sigma_a"][k] * dens0 for k in range(3))
+        _, m_entry = _tau_to_t(seg_t, seg_m, tau_edges, jnp.zeros_like(t0f))
+        m_entry = jnp.maximum(m_entry, 0.0)
 
     zero = jnp.zeros_like(t0f)
     one = jnp.ones_like(t0f)
@@ -529,15 +589,21 @@ def track_sample(
         u_dist = _u1_at(key_v, offs + 1)
         u_ev = _u1_at(key_v, offs + 2)
 
-        m_prev_s = jnp.where(m_prev <= 0.0, 1.0, m_prev)
-        alb = tuple(
-            jnp.maximum((m_prev - sa) / m_prev_s, 0.0)
-            for sa in (sa0, sa1, sa2)
-        )
-        channel, pmf = _pick_channel(
-            tpv[0] * w0 * alb[0], tpv[1] * w1 * alb[1], tpv[2] * w2 * alb[2],
-            u_wl,
-        )
+        if chan_uniform:
+            channel, pmf = _pick_channel(
+                jnp.ones_like(w0), jnp.ones_like(w1), jnp.ones_like(w2),
+                u_wl,
+            )
+        else:
+            m_prev_s = jnp.where(m_prev <= 0.0, 1.0, m_prev)
+            alb = tuple(
+                jnp.maximum((m_prev - sa) / m_prev_s, 0.0)
+                for sa in (sa0, sa1, sa2)
+            )
+            channel, pmf = _pick_channel(
+                tpv[0] * w0 * alb[0], tpv[1] * w1 * alb[1],
+                tpv[2] * w2 * alb[2], u_wl,
+            )
 
         dtau = -jnp.log(jnp.maximum(1.0 - u_dist, _TINY))
         tau_new = tau + dtau
@@ -693,6 +759,331 @@ def track_transmittance(
     _, act, _, tr0, tr1, tr2 = lax.while_loop(cond, body, init)
     alive = act > 0                 # exhausted -> 0 (never biased bright)
     return tuple(jnp.where(alive, 0.0, tr) for tr in (tr0, tr1, tr2))
+
+
+# --------------------------------------------------------------------------
+# analytic-gradient replay kernels (round 5)
+#
+# Two-pass forward-speed gradients of the realized (score-corrected,
+# grad-sampling) estimator w.r.t. the density grid: pass A renders img
+# (grad-sampling forward), pass B REPLAYS the identical RNG stream and, at
+# every tracking event, scatters
+#     coeff = sum_c rfac_c * suffix_c * dlog(factor_c)/d dens(x_k)
+# into a VMEM (NB_pad, 768) brick-layout accumulator via a one-hot MXU
+# matmul (the transpose of the extraction pattern). ``suffix_c`` =
+# img_c - (contributions emitted so far): every contribution after event k
+# carries event k's per-channel multiplicative factor exactly once, so the
+# suffix-times-log-derivative form reproduces autodiff of the realized
+# weight products. This requires the grad-sampling estimator (RR off,
+# uniform channel pick — media.py ``grad_sampling``): those two decisions'
+# probabilities depend on the whole throughput HISTORY, whose per-voxel
+# log-derivative cannot be carried forward. Parity-gated against
+# jax.grad of the wavefront (differentiable=True, score_terms=True,
+# grad_sampling=True) path in tests/test_het_grad_kernel.py.
+# --------------------------------------------------------------------------
+
+
+def _scatter_rows(p3, coeff, ids_ref, acc_ref, pcoords, c):
+    """Accumulate ``coeff`` ((8,512) per-lane scalars) times the trilinear
+    corner weights of world points ``p3`` into the (NB_pad, 768)
+    brick-gradient accumulator: per row, acc += onehot(rank) @ (w3*coeff)
+    — one HIGHEST-precision MXU matmul (exact f32 accumulation; the
+    gradient parity test depends on it). Lanes outside the grid or in a
+    dropped (empty) brick contribute nothing: their coeff is masked by the
+    selected-id check (same rank-remap argument as ``_density_rows``)."""
+    gx, gy, gz = p3
+    inside = (
+        (gx >= c["gmin"][0]) & (gx <= c["gmax"][0])
+        & (gy >= c["gmin"][1]) & (gy <= c["gmax"][1])
+        & (gz >= c["gmin"][2]) & (gz <= c["gmax"][2])
+    )
+
+    def axis(p, k):
+        x = (p - c["gmin"][k]) / c["ext"][k] * c["res_m1"][k]
+        x = jnp.clip(x, 0.0, c["res_m1"][k])
+        x0 = jnp.floor(x)
+        return x0.astype(jnp.int32), x - x0
+
+    i0x, fx = axis(gx, 0)
+    i0y, fy = axis(gy, 1)
+    i0z, fz = axis(gz, 2)
+    _, nby, nbz = c["nb"]
+    bxi, byi, bzi = i0x >> 3, i0y >> 3, i0z >> 3
+    bflat = (bxi * np.int32(nby) + byi) * np.int32(nbz) + bzi
+    lx = i0x - (bxi << 3)
+    ly = i0y - (byi << 3)
+    lz = i0z - (bzi << 3)
+    px, py, pz = pcoords
+    nb_rows = ids_ref.shape[0]
+    ids_col = ids_ref[...]
+    cf = jnp.where(inside, coeff, 0.0)
+    acc = acc_ref[...]
+    for r in range(RAY_ROWS):
+        bfi = bflat[r:r + 1, :]
+        bf = bfi.astype(jnp.float32)
+        local = jnp.sum(
+            (ids_col < bf).astype(jnp.float32), axis=0, keepdims=True
+        ).astype(jnp.int32)
+        oh = (
+            lax.broadcasted_iota(jnp.int32, (nb_rows, RAY_LANES), 0)
+            == local
+        ).astype(jnp.float32)
+        # selected-id check without the payload matmul: read the id column
+        # back through the same one-hot (exact f32 pick)
+        sel_id = lax.dot_general(
+            ids_col, oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )                                                   # (1, 512)
+        cfr = jnp.where(sel_id == bf, cf[r:r + 1, :], 0.0)
+        lxr, fxr = lx[r:r + 1, :], fx[r:r + 1, :]
+        lyr, fyr = ly[r:r + 1, :], fy[r:r + 1, :]
+        lzr, fzr = lz[r:r + 1, :], fz[r:r + 1, :]
+        wx = jnp.where(px == lxr, 1.0 - fxr, 0.0) + jnp.where(
+            px == lxr + 1, fxr, 0.0
+        )
+        wy = jnp.where(py == lyr, 1.0 - fyr, 0.0) + jnp.where(
+            py == lyr + 1, fyr, 0.0
+        )
+        wz = jnp.where(pz == lzr, 1.0 - fzr, 0.0) + jnp.where(
+            pz == lzr + 1, fzr, 0.0
+        )
+        contrib = (wx * wy * wz) * cfr                      # (768, 512)
+        acc = acc + lax.dot_general(
+            oh, contrib,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )                                                   # (NB_pad, 768)
+    acc_ref[...] = acc
+
+
+def _dps_channels(dens, m_loc, sig_s, sig_n, denom, c):
+    """d p_s_c / d dens at the current point (closed form; clamp-aware to
+    match autodiff through ``maximum(sig_n, 0)``): in the unclamped region
+    p_s = sigma_s*D*dens / (m - sigma_a*D*dens) so
+    dp_s/ddens = D*(sigma_s*q + sigma_a*sig_s)/q^2; where the null channel
+    clamps (sig_n == 0, p_s == 1) the derivative is 0."""
+    D = c["dm"]
+    out = []
+    for k in range(3):
+        q = denom[k]
+        dps = (
+            np.float32(c["sigma_s"][k] * D) * q
+            + np.float32(c["sigma_a"][k] * D) * sig_s[k]
+        ) / (q * q)
+        out.append(jnp.where(sig_n[k] > 0.0, dps, 0.0))
+    return tuple(out)
+
+
+def track_sample_grad(
+    o3, d3, t0v, t1v, key_v, site, active0, rfac3, suffix3,
+    bricks_ref, ids_ref, sg_ref, acc_ref, pcoords, c, max_steps,
+):
+    """Gradient REPLAY of ``track_sample(chan_uniform=True)``: identical
+    draws, branches, and returned (t_res, w, scattered, scat_step), plus a
+    per-event density-gradient scatter into ``acc_ref``.
+
+    Per event at point x with picked channel c*, the scattered coefficient
+    is sum_c rfac_c * suffix_c * slog_c with
+      scatter: slog_c = dlog(sig_s_c/pdf_sc) + dlog ratio(p_s_c*)
+      null:    slog_c = dlog(sig_n_c/pdf_nl) + dlog ratio(1 - p_s_c*)
+      escape:  0 (majorant-only factors)
+    where the ratio terms are media._score_ratio's clipped score
+    (no score below p = 1e-5) and every 1/x is guarded by its factor being
+    zero (then suffix_c is zero too — the contribution chain died)."""
+    t0f = t0v
+    t1f = jnp.maximum(t1v, t0f)
+    seg_t, seg_m, tau_edges = _dda_segments(o3, d3, t0f, t1f, sg_ref, c)
+    tau_total = tau_edges[-1] - np.float32(RAY_EPS) * c["majorant"]
+    zero = jnp.zeros_like(t0f)
+    one = jnp.ones_like(t0f)
+    p_min = np.float32(1e-5)
+
+    def body(state):
+        step, act, tau, w0, w1, w2, t_res, sstep, scat_acc = state
+        active = act > 0
+        offs = site + step * np.int32(_SITES_PER_STEP)
+        u_wl = _u1_at(key_v, offs)
+        u_dist = _u1_at(key_v, offs + 1)
+        u_ev = _u1_at(key_v, offs + 2)
+        channel, pmf = _pick_channel(
+            jnp.ones_like(w0), jnp.ones_like(w1), jnp.ones_like(w2), u_wl
+        )
+        dtau = -jnp.log(jnp.maximum(1.0 - u_dist, _TINY))
+        tau_new = tau + dtau
+        esc = tau_new > tau_total
+        tr_esc = jnp.exp(-(tau_total - tau))
+        pdf_esc = (pmf[0] + pmf[1] + pmf[2]) * tr_esc
+        pe = jnp.where(pdf_esc == 0.0, 1.0, pdf_esc)
+        w_esc = tuple(w * tr_esc / pe for w in (w0, w1, w2))
+
+        t_new, m_loc = _tau_to_t(seg_t, seg_m, tau_edges, tau_new)
+        m_safe = jnp.where(m_loc <= 0.0, 1.0, m_loc)
+        p3 = tuple(o3[k] + t_new * d3[k] for k in range(3))
+        dens = _density_rows(p3, bricks_ref, ids_ref, pcoords, c) * c["dm"]
+        sig_s = tuple(c["sigma_s"][k] * dens for k in range(3))
+        sig_a = tuple(c["sigma_a"][k] * dens for k in range(3))
+        sig_n = tuple(
+            jnp.maximum(m_loc - sig_a[k] - sig_s[k], 0.0) for k in range(3)
+        )
+        denom = tuple(
+            jnp.where(sig_s[k] + sig_n[k] == 0.0, 1.0, sig_s[k] + sig_n[k])
+            for k in range(3)
+        )
+        p_s = tuple(sig_s[k] / denom[k] for k in range(3))
+        p_n = tuple(sig_n[k] / denom[k] for k in range(3))
+        p_s_c = _by_channel(channel, *p_s)
+
+        tr_s = jnp.exp(-dtau)
+        pdf_sc = (
+            pmf[0] * m_safe * tr_s * p_s[0]
+            + pmf[1] * m_safe * tr_s * p_s[1]
+            + pmf[2] * m_safe * tr_s * p_s[2]
+        )
+        ps_safe = jnp.where(pdf_sc == 0.0, 1.0, pdf_sc)
+        w_cur = (w0, w1, w2)
+        w_scat = tuple(
+            w_cur[k] * tr_s * sig_s[k] / ps_safe for k in range(3)
+        )
+        pdf_nl = (
+            pmf[0] * m_safe * tr_s * p_n[0]
+            + pmf[1] * m_safe * tr_s * p_n[1]
+            + pmf[2] * m_safe * tr_s * p_n[2]
+        )
+        pn_safe = jnp.where(pdf_nl == 0.0, 1.0, pdf_nl)
+        w_null = tuple(
+            w_cur[k] * tr_s * sig_n[k] / pn_safe for k in range(3)
+        )
+
+        scat = ~esc & (u_ev < p_s_c)
+        a_esc = active & esc
+        a_scat = active & scat
+        cont = active & ~esc & ~scat
+
+        # ---- density-gradient scatter for this event ----
+        D = np.float32(c["dm"])
+        dps = _dps_channels(dens, m_loc, sig_s, sig_n, denom, c)
+        dpdf_sc = (
+            pmf[0] * m_safe * tr_s * dps[0]
+            + pmf[1] * m_safe * tr_s * dps[1]
+            + pmf[2] * m_safe * tr_s * dps[2]
+        )
+        dps_c = _by_channel(channel, *dps)
+        # clipped score terms (media._score_ratio, p_min = 1e-5)
+        score_scat = jnp.where(p_s_c > p_min, dps_c / jnp.where(
+            p_s_c == 0.0, 1.0, p_s_c), 0.0)
+        one_m = 1.0 - p_s_c
+        score_null = jnp.where(one_m > p_min, -dps_c / jnp.where(
+            one_m == 0.0, 1.0, one_m), 0.0)
+        coeff = zero
+        for k in range(3):
+            # scatter branch: dlog sig_s_k - dlog pdf_sc (+ shared score)
+            dlog_s = jnp.where(
+                sig_s[k] > 0.0,
+                np.float32(c["sigma_s"][k]) * D / jnp.where(
+                    sig_s[k] == 0.0, 1.0, sig_s[k]),
+                0.0,
+            ) - dpdf_sc / ps_safe + score_scat
+            # null branch: dlog sig_n_k - dlog pdf_nl (+ shared score)
+            st_k = np.float32((c["sigma_a"][k] + c["sigma_s"][k])) * D
+            dlog_n = jnp.where(
+                sig_n[k] > 0.0,
+                -st_k / jnp.where(sig_n[k] == 0.0, 1.0, sig_n[k]),
+                0.0,
+            ) + dpdf_sc / pn_safe + score_null
+            slog = jnp.where(a_scat, dlog_s, jnp.where(cont, dlog_n, 0.0))
+            coeff = coeff + rfac3[k] * suffix3[k] * slog
+        coeff = jnp.where(a_scat | cont, coeff, 0.0)
+        _scatter_rows(p3, coeff, ids_ref, acc_ref, pcoords, c)
+
+        t_res = jnp.where(a_esc, t1v + np.float32(RAY_EPS), t_res)
+        t_res = jnp.where(a_scat, t_new, t_res)
+        sstep = jnp.where(a_scat, step, sstep)
+        scat_acc = jnp.where(a_scat, 1, scat_acc)
+        w_out = []
+        for k in range(3):
+            w = jnp.where(a_esc, w_esc[k], w_cur[k])
+            w = jnp.where(a_scat, w_scat[k], w)
+            w_out.append(jnp.where(cont, w_null[k], w))
+        act_new = cont.astype(jnp.int32)
+        tau = jnp.where(cont, tau_new, tau)
+        return (step + 1, act_new, tau, w_out[0], w_out[1], w_out[2],
+                t_res, sstep, scat_acc)
+
+    def cond(state):
+        return (state[0] < max_steps) & (jnp.sum(state[1]) > 0)
+
+    init = (
+        jnp.int32(0), active0.astype(jnp.int32), zero, one, one, one,
+        t1v + np.float32(RAY_EPS), jnp.zeros_like(t0f, dtype=jnp.int32),
+        jnp.zeros_like(t0f, dtype=jnp.int32),
+    )
+    out = lax.while_loop(cond, body, init)
+    _, act, _, w0, w1, w2, t_res, sstep, scat_acc = out
+    alive = act > 0
+    w = tuple(jnp.where(alive, 0.0, wc) for wc in (w0, w1, w2))
+    return t_res, w, scat_acc, sstep
+
+
+def track_transmittance_grad(
+    o3, q3, key_v, site, active0, pend3, bricks_ref, ids_ref, sg_ref,
+    acc_ref, pcoords, c, max_steps,
+):
+    """Density-gradient replay of ``track_transmittance``: walks the SAME
+    candidate sequence (the caller already holds tr from the forward call)
+    and scatters sum_c pend_c * dlog(sig_n_c)/d dens per event, where
+    ``pend3`` = rfac_c * (the full NEE contribution in channel c,
+    INCLUDING tr_c). Ratio tracking samples from the majorant only, so
+    there are no score terms (matches the XLA autodiff path)."""
+    dvx = q3[0] - o3[0]
+    dvy = q3[1] - o3[1]
+    dvz = q3[2] - o3[2]
+    dist = jnp.sqrt(dvx * dvx + dvy * dvy + dvz * dvz)
+    safe = jnp.where(dist == 0.0, 1.0, dist)
+    d3 = (dvx / safe, dvy / safe, dvz / safe)
+    zero = jnp.zeros_like(dist)
+    seg_t, seg_m, tau_edges = _dda_segments(o3, d3, zero, dist, sg_ref, c)
+    tau_total = tau_edges[-1]
+    D = np.float32(c["dm"])
+
+    def body(state):
+        step, act, tau = state
+        active = act > 0
+        u = _u1_at(key_v, site + step)
+        tau_new = tau - jnp.log(jnp.maximum(1.0 - u, _TINY))
+        esc = tau_new > tau_total
+        t_new, m_loc = _tau_to_t(seg_t, seg_m, tau_edges, tau_new)
+        p3 = tuple(o3[k] + t_new * d3[k] for k in range(3))
+        dens = _density_rows(p3, bricks_ref, ids_ref, pcoords, c) * c["dm"]
+        upd = active & ~esc
+        coeff = zero
+        for k in range(3):
+            sig_n = m_loc - np.float32(
+                c["sigma_a"][k] + c["sigma_s"][k]
+            ) * dens
+            st_k = np.float32((c["sigma_a"][k] + c["sigma_s"][k])) * D
+            # factor_k = max(sig_n, 0)/m: dlog = -(sa+ss)*dm/sig_n when
+            # > 0 (the scatter variable is the RAW trilinear grid value);
+            # when clamped the factor (and thus pend through tr) is zero
+            dlog = jnp.where(
+                sig_n > 0.0, -st_k / jnp.where(sig_n == 0.0, 1.0, sig_n),
+                0.0,
+            )
+            coeff = coeff + pend3[k] * dlog
+        coeff = jnp.where(upd, coeff, 0.0)
+        _scatter_rows(p3, coeff, ids_ref, acc_ref, pcoords, c)
+        act_new = upd.astype(jnp.int32)
+        tau = jnp.where(upd, tau_new, tau)
+        return step + 1, act_new, tau
+
+    def cond(state):
+        return (state[0] < max_steps) & (jnp.sum(state[1]) > 0)
+
+    lax.while_loop(
+        cond, body, (jnp.int32(0), active0.astype(jnp.int32), zero)
+    )
 
 
 def _transmittance_kernel(
