@@ -35,7 +35,11 @@ def build_room(n_side):
         ((0, 0, 0), (0, 0, 559), (0, 548, 559), (0, 548, 0)),
         ((556, 0, 0), (556, 0, 559), (556, 548, 559), (556, 548, 0)),
     ):
-        quads.append(np.asarray([[v0, v1, v2], [v0, v2, v3]], np.float32))
+        # wound so geometric normals face the room interior (NEE's cos
+        # clamps against ng; round-5 fix — the round-4 run had outward
+        # normals AND a camera facing away, so it measured a degenerate
+        # near-black render)
+        quads.append(np.asarray([[v0, v2, v1], [v0, v3, v2]], np.float32))
     b.add_mesh(np.concatenate(quads, axis=0), material=white)
     rng = np.random.default_rng(11)
     pitch = 480.0 / n_side
@@ -52,9 +56,9 @@ def build_room(n_side):
                 (x0, 547.0, z0 + size), (le,) * 3,
             )
     c2w = from_rows(
-        1.0, 0, 0, 0,
+        -1.0, 0, 0, 0,
         0, 1.0, 0, 0,
-        0, 0, 1.0, 0,
+        0, 0, -1.0, 0,
         278.0, 273.0, -600.0, 1,
     )
     return b, dict(c2w=c2w, fov_deg=38.0)

@@ -226,3 +226,91 @@ def test_analytic_grad_kernel_matches_autodiff():
         atol=2e-4 * max(1e-6, np.abs(gl).max()),
     )
     assert np.abs(ga).max() > 0.0 and np.abs(gl).max() > 0.0
+
+
+def test_analytic_grad_power_nee_16_lights():
+    """Round-5 item 5: the analytic-gradient kernel supports
+    ``nee_mode="power"`` (one power-picked light per vertex, ONE shadow
+    sweep) and scenes past the old 8-light cap — the pick probability is
+    sampling-independent, so the forward-pass Jacobian recursion is
+    unchanged. Parity vs autodiff of the wavefront power-NEE pipeline on
+    a 16-light box."""
+    import jax
+
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.diff import make_loss_fn, make_radiance_fn
+    from xraytracer_tpu.integrators.megakernel import (
+        try_make_fused_grad_path,
+    )
+    from xraytracer_tpu.math import from_rows
+    from xraytracer_tpu.renderer import CAMERA_SITE, pixel_grid
+    from xraytracer_tpu.sampling import path_keys, uniform2
+    from xraytracer_tpu.scene.builder import SceneBuilder, scene_statics
+
+    b = SceneBuilder()
+    white = b.add_lambert((0.7, 0.7, 0.7))
+    quads = []
+    # wound so the geometric normals face the room interior (NEE's cos
+    # clamps against ng)
+    for v0, v1, v2, v3 in (
+        ((0, 0, 0), (556, 0, 0), (556, 0, 559), (0, 0, 559)),
+        ((0, 0, 559), (556, 0, 559), (556, 548, 559), (0, 548, 559)),
+        ((0, 548, 0), (556, 548, 0), (556, 548, 559), (0, 548, 559)),
+    ):
+        quads.append(np.asarray([[v0, v2, v1], [v0, v3, v2]], np.float32))
+    b.add_mesh(np.concatenate(quads, axis=0), material=white)
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        for j in range(4):
+            x0 = 60.0 + i * 110.0
+            z0 = 60.0 + j * 110.0
+            le = float(rng.uniform(1.0, 30.0))
+            b.add_quad_light(
+                (x0, 547.0, z0), (x0 + 40.0, 547.0, z0),
+                (x0, 547.0, z0 + 40.0), (le, 0.8 * le, 0.6 * le),
+            )
+    tables = b.build()
+    statics = scene_statics(tables)
+    assert statics["n_area_lights"] == 16
+    w, h = 24, 18
+    c2w = from_rows(-1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, -1.0, 0,
+                    278.0, 273.0, -600.0, 1)
+    camera = PinholeCamera.make(w / h, c2w=c2w, fov_deg=38.0)
+    pixel_ids, pixel_xy = pixel_grid(w, h)
+    n = w * h
+    target = jnp.zeros((n, 3))
+    params = {"mat_albedo": tables.mat_albedo, "al_le": tables.al_le}
+
+    radiance = make_radiance_fn(
+        tables, statics, camera, w, h, max_depth=2, cosine_sampling=True,
+        geometry_grads=True, nee_mode="power",
+    )
+    loss = make_loss_fn(radiance)
+    val, g_ref = jax.value_and_grad(loss)(
+        params, pixel_ids, pixel_xy, target, 1
+    )
+
+    fgrad = try_make_fused_grad_path(
+        tables, statics, max_depth=2, nee=True, cosine_sampling=True,
+        interpret=True, force=True, nee_mode="power",
+    )
+    assert fgrad is not None
+    keys = path_keys(0, pixel_ids, 1)
+    u = uniform2(keys, CAMERA_SITE)
+    rays = camera.sample_rays((pixel_xy + u) / jnp.asarray([w, h], jnp.float32))
+    img, galb, gle = fgrad(rays, keys)
+    val_f = float(jnp.mean((img - target) ** 2))
+    np.testing.assert_allclose(val_f, float(val), rtol=3e-4)
+    r = 2.0 * (img - target) / (n * 3)
+    galb_sum = jnp.einsum("nc,nckm->mk", r, galb)
+    gle_sum = jnp.einsum("nc,ncl->lc", r, gle)
+    np.testing.assert_allclose(
+        np.asarray(galb_sum), np.asarray(g_ref["mat_albedo"]),
+        rtol=5e-3, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gle_sum),
+        np.asarray(g_ref["al_le"])[:16],
+        rtol=5e-3, atol=1e-7,
+    )
+    assert np.abs(np.asarray(gle_sum)).max() > 0

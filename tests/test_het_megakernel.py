@@ -110,3 +110,55 @@ def test_persistent_spp_kernel_bitwise_equal(scene):
     )
     assert int(na) == int(nb)
     assert float(np.abs(np.asarray(ra)).sum()) > 0.0
+
+
+def test_fused_het_many_lights_parity():
+    """Round-5 item 8: the fused het path now accepts up to 16 sphere
+    lights (was 2) — NEE stays ONE uniform-picked shadow/transmittance
+    pass per bounce (the reference's strategy, Src/integrator.h:586-602),
+    so per-spp cost is ~flat in light count. Draw-parity vs the wavefront
+    on an 8-light cloud."""
+    from xraytracer_tpu.scene.builder import SceneBuilder
+
+    density = round_bf16(procedural_cloud(res=(24, 20, 16), seed=4))
+    b = SceneBuilder()
+    bmin = np.array([-165.0, -110.0, -160.0], np.float32)
+    bmax = np.array([165.0, 110.0, 160.0], np.float32)
+    b.set_density_grid(density, bmin, bmax)
+    b.add_heterogeneous_medium(0.0, (0.02, 0.02, 0.02),
+                               (0.08, 0.07, 0.06))
+    rng = np.random.default_rng(9)
+    for i in range(8):
+        c = rng.uniform(-1.0, 1.0, 3) * np.array([300.0, 80.0, 300.0])
+        c[1] += 330.0
+        b.add_sphere_light(tuple(c), 40.0,
+                           (5.0 + 3.0 * i, 20.0 - 2.0 * i, 8.0))
+    tables = b.build()
+    statics = scene_statics(tables)
+    assert _eligible_het(tables, statics, MAX_DEPTH) is not None
+
+    rng2 = np.random.default_rng(22)
+    n = 2048
+    o = np.tile(np.float32([[0.0, 70.0, 550.0]]), (n, 1))
+    o += rng2.normal(scale=30.0, size=(n, 3)).astype(np.float32)
+    target = rng2.normal(scale=120.0, size=(n, 3)).astype(np.float32)
+    d = target - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays(o=jnp.asarray(o), d=jnp.asarray(d))
+    keys = path_keys(5, jnp.arange(n, dtype=jnp.int32), 0)
+
+    ref_fn = make_volume_integrator(
+        tables, statics, MAX_DEPTH, nee=True, max_steps=MAX_STEPS,
+        fused="off",
+    )
+    ref = ref_fn(rays, keys)
+    fi = try_make_fused_het_path_integrator(
+        tables, statics, MAX_DEPTH, nee=True, max_steps=MAX_STEPS,
+        interpret=True, force=True,
+    )
+    assert fi is not None
+    got = fi(rays, keys)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
+    assert float(jnp.mean(ref)) > 1e-3

@@ -61,6 +61,7 @@ def _diff_tri_fn(geometry_grads=False):
 def make_radiance_fn(
     tables, statics, camera, width, height, max_depth=3, nee=True,
     cosine_sampling=True, seed=0, geometry_grads=False, tri_fn=None,
+    nee_mode="all",
 ):
     """Returns ``radiance(params, pixel_ids, pixel_xy, sample_idx) -> (N,3)``
     where ``params`` is a dict of SceneTables overrides (e.g.
@@ -68,6 +69,16 @@ def make_radiance_fn(
     wh = jnp.asarray([float(width), float(height)])
     if tri_fn is None:
         tri_fn = _diff_tri_fn(geometry_grads)
+    pick_w = None
+    if nee_mode == "power":
+        # bake the pick distribution from the CONCRETE base tables — the
+        # traced (overridden) tables cannot weigh and would silently fall
+        # back to uniform picking, diverging from the fused grad kernel's
+        # baked power pick (the pick is a detached sampling choice either
+        # way)
+        from .lights import light_power_weights
+
+        pick_w = light_power_weights(tables)
 
     def radiance(params, pixel_ids, pixel_xy, sample_idx):
         from .scene.tables import rejoin_appearance
@@ -78,6 +89,7 @@ def make_radiance_fn(
         integrate = make_path_integrator(
             scene, statics, max_depth, nee=nee,
             cosine_sampling=cosine_sampling, tri_fn=tri_fn,
+            nee_mode=nee_mode, pick_weights=pick_w,
         )
         keys = path_keys(seed, pixel_ids, sample_idx)
         u = uniform2(keys, CAMERA_SITE)
@@ -115,7 +127,7 @@ def make_train_step(radiance_fn, lr=0.05):
 def try_make_fast_value_and_grad(
     tables, statics, camera, width, height, max_depth=3, nee=True,
     cosine_sampling=True, seed=0, interpret=False, force=False,
-    le_grads=False,
+    le_grads=False, nee_mode="all",
 ):
     """Forward-pass ANALYTIC value_and_grad of the L2 image loss — the
     megakernel accumulates per-lane ∂img/∂mat_albedo and ∂img/∂al_le
@@ -143,9 +155,20 @@ def try_make_fast_value_and_grad(
     fg = try_make_fused_grad_path(
         tables, statics, max_depth, nee=nee,
         cosine_sampling=cosine_sampling, interpret=interpret, force=force,
+        nee_mode=nee_mode,
     )
     if fg is None:
-        return None
+        # volume scenes: the fused heterogeneous analytic-gradient path
+        # (round 5 — forward-speed ∂loss/∂{grid_density, al_le} via the
+        # suffix-replay kernel; grad-sampling estimator variant)
+        from .integrators.het_megakernel import (
+            try_make_fused_het_value_and_grad,
+        )
+
+        return try_make_fused_het_value_and_grad(
+            tables, statics, camera, width, height, max_depth, nee=nee,
+            seed=seed, interpret=interpret, force=force,
+        )
     wh = jnp.asarray([float(width), float(height)])
 
     def step(params, pixel_ids, pixel_xy, target, sample_idx):

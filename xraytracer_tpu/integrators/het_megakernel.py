@@ -25,8 +25,9 @@ a bf16-exact grid (the kernels sample the bf16-rounded field, PARITY.md).
 Eligibility (``_eligible_het``): no triangles, exactly one box carrying
 the single heterogeneous medium, every sphere purely emissive (no
 material/medium — so shadow rays are never surface-blocked, matching the
-wavefront's ``mtype >= 0`` test compiling to False), <= 2 sphere area
-lights, grids within media_pallas.het_pack's VMEM bound.
+wavefront's ``mtype >= 0`` test compiling to False), <= 16 sphere area
+lights (one uniform-picked NEE pass per bounce regardless of count),
+grids within media_pallas.het_pack's VMEM bound.
 """
 
 from functools import partial
@@ -474,7 +475,12 @@ def _eligible_het(scene, statics, max_depth):
             lrow=int(obj_light[obj]),
         ))
     n_lights = statics["n_area_lights"]
-    if n_lights > 2:
+    if n_lights > 16:
+        # uniform one-light NEE pays ONE shadow/transmittance pass per
+        # bounce regardless of light count (the reference's pick strategy,
+        # Src/integrator.h:586-602); the per-light cost is an O(L) select
+        # loop plus L sphere intersects per bounce (round-5 verdict item
+        # 8: was capped at 2)
         return None
     lights = []
     for i in range(n_lights):
@@ -720,7 +726,8 @@ def _make_het_grad_iteration(
                 wiz = jnp.zeros(shp)
                 pdf = jnp.zeros(shp)
                 ler2, leg2, leb2 = zero, zero, zero
-                front_sel = zero.astype(bool)
+                front_sel = zero                # f32 0/1: Mosaic cannot
+                                                # select between i1 planes
                 for i, L in enumerate(lights):
                     wi3, _tm, pdf_i, front = _cone_sample(mp3, L, lu, lv)
                     sel = lidx == i
@@ -730,7 +737,9 @@ def _make_het_grad_iteration(
                     pdf = jnp.where(sel, pdf_i * np.float32(1.0 / n_lf),
                                     pdf)
                     fr = sel & front
-                    front_sel = jnp.where(sel, front, front_sel)
+                    front_sel = jnp.where(
+                        sel, front.astype(jnp.float32), front_sel
+                    )
                     ler2 = jnp.where(fr, np.float32(L["le"][0]), ler2)
                     leg2 = jnp.where(fr, np.float32(L["le"][1]), leg2)
                     leb2 = jnp.where(fr, np.float32(L["le"][2]), leb2)
@@ -761,7 +770,7 @@ def _make_het_grad_iteration(
                 for ci in range(3):
                     for i in range(n_lf):
                         dE_flat[ci][i] = dE_flat[ci][i] + jnp.where(
-                            (lidx == i) & front_sel & ok_,
+                            (lidx == i) & (front_sel > 0.0) & ok_,
                             t_c[ci] * w[ci] * tr[ci] * coef,
                             0.0,
                         )
@@ -1037,5 +1046,41 @@ def try_make_fused_het_value_and_grad(
             )
         return loss, grads
 
+    def step_pair(params, pixel_ids, pixel_xy, target, sample_a, sample_b):
+        """TWO-SAMPLE product-loss step: loss = mean((a - t)(b - t)) over
+        two INDEPENDENT renders (distinct RNG streams) — the unbiased
+        surrogate for (E img - t)^2 that drops the Var(img) term a plain
+        L2 on one noisy render minimizes (test_diff_volume's measured
+        failure mode: density collapses to 0). Gradients via two replay
+        passes with crossed residuals: d loss/d a = (b - t)/N etc."""
+        n = pixel_ids.shape[0]
+        grid = params.get("grid_density", tables.grid_density)
+        bricks_t = pack_bricks_live(grid, pack)
+        keys_a = path_keys(seed, pixel_ids, sample_a)
+        keys_b = path_keys(seed + 7919, pixel_ids, sample_b)
+        u_a = uniform2(keys_a, CAMERA_SITE)
+        u_b = uniform2(keys_b, CAMERA_SITE)
+        rays_a = camera.sample_rays((pixel_xy + u_a) / wh)
+        rays_b = camera.sample_rays((pixel_xy + u_b) / wh)
+        img_a = fwd(rays_a, keys_a, bricks_t)
+        img_b = fwd(rays_b, keys_b, bricks_t)
+        loss = jnp.mean((img_a - target) * (img_b - target))
+        rfac_a = (img_b - target) / (n * 3)
+        rfac_b = (img_a - target) / (n * 3)
+        gle_a, acc_a = grad_call(rays_a, keys_a, img_a, rfac_a, bricks_t)
+        gle_b, acc_b = grad_call(rays_b, keys_b, img_b, rfac_b, bricks_t)
+        grads = {}
+        if "grid_density" in params:
+            grads["grid_density"] = unbrick_grad(acc_a + acc_b, pack)
+        if "al_le" in params:
+            gl = (jnp.einsum("nc,ncl->lc", rfac_a, gle_a)
+                  + jnp.einsum("nc,ncl->lc", rfac_b, gle_b))
+            base = params["al_le"]
+            grads["al_le"] = (
+                jnp.zeros_like(base).at[: gl.shape[0]].set(gl)
+            )
+        return loss, grads
+
     step.n_lights = n_l
+    step.step_pair = step_pair
     return step

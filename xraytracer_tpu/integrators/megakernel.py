@@ -590,7 +590,6 @@ def _trace_body(
                     E1 = tuple(np.float32(c) for c in L["e1"])
                     E2 = tuple(np.float32(c) for c in L["e2"])
                     GN = tuple(np.float32(c) for c in L["ng"])
-                    LE = tuple(np.float32(c) for c in L["le"])
                     v0xs = jnp.where(sel, V0[0], v0xs)
                     v0ys = jnp.where(sel, V0[1], v0ys)
                     v0zs = jnp.where(sel, V0[2], v0zs)
@@ -603,9 +602,9 @@ def _trace_body(
                     gnx = jnp.where(sel, GN[0], gnx)
                     gny = jnp.where(sel, GN[1], gny)
                     gnz = jnp.where(sel, GN[2], gnz)
-                    lers = jnp.where(sel, LE[0], lers)
-                    legs = jnp.where(sel, LE[1], legs)
-                    lebs = jnp.where(sel, LE[2], lebs)
+                    lers = jnp.where(sel, light_le(i, 0), lers)
+                    legs = jnp.where(sel, light_le(i, 1), legs)
+                    lebs = jnp.where(sel, light_le(i, 2), lebs)
                     is_tri = jnp.where(
                         sel, np.float32(1.0 if L["type"] == 0 else 0.0),
                         is_tri,
@@ -676,7 +675,7 @@ def _trace_body(
                 rr_ = rr_ + jnp.where(active, trr * albr * ler2 * coef, 0.0)
                 rg_ = rg_ + jnp.where(active, trg * albg * leg2 * coef, 0.0)
                 rb_ = rb_ + jnp.where(active, trb * albb * leb2 * coef, 0.0)
-                if grads is not None:       # nee_kind == "all": li = row
+                if grads is not None:
                     alb_c = (albr, albg, albb)
                     le_c = (ler2, leg2, leb2)
                     t_c = (trr, trg, trb)
@@ -692,9 +691,24 @@ def _trace_body(
                                 dL[c][cc][m] = dL[c][cc][m] + jnp.where(
                                     active, dd * lc, 0.0
                                 )
-                        dE[c][li] = dE[c][li] + jnp.where(
-                            active, t_c[c] * alb_c[c] * coef, 0.0
-                        )
+                        if nee_kind == "all":   # li = light row
+                            dE[c][li] = dE[c][li] + jnp.where(
+                                active, t_c[c] * alb_c[c] * coef, 0.0
+                            )
+                        else:
+                            # one sampled light: scatter by the pick.
+                            # ∂le_c/∂Le is 1 only for the PICKED light;
+                            # coef already carries the pick probability
+                            # (sampling-independent, so the Jacobian
+                            # recursion is otherwise unchanged — round-5
+                            # verdict item 5). ``coef`` is zero unless the
+                            # sample faced the light, so the backface
+                            # one-sidedness is inherited.
+                            for i in range(n_l):
+                                dE[c][i] = dE[c][i] + jnp.where(
+                                    active & (lidx == i),
+                                    t_c[c] * alb_c[c] * coef, 0.0,
+                                )
 
         # ---- BSDF bounce (Lambert) -----------------------------------
         # the final bounce's sampled ray feeds no further iteration — skip
@@ -1142,7 +1156,7 @@ def _mega_grad_kernel(
 
 def try_make_fused_grad_path(
     scene, statics, max_depth, nee=True, le_depth0_only=None,
-    cosine_sampling=False, interpret=False, force=False,
+    cosine_sampling=False, interpret=False, force=False, nee_mode="all",
 ):
     """Analytic forward-pass gradients: ``f(rays, keys, tri_rec=None) ->
     (img (N,3), galb (N,3,3,M), gle (N,3,L))`` where
@@ -1166,7 +1180,7 @@ def try_make_fused_grad_path(
     if le_depth0_only is None:
         le_depth0_only = nee
     baked = _bake(scene, statics, max_depth, nee, le_depth0_only,
-                  cosine_sampling, nee_mode="all")
+                  cosine_sampling, nee_mode=nee_mode)
     if baked is None:
         return None
     consts, tables, table_specs = baked

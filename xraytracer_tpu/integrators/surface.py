@@ -72,7 +72,7 @@ def make_furnace_integrator(scene, tri_fn=None, cosine_sampling=False):
 def _nee_area_lights(
     scene, statics, hit, d_in, throughput, keys, site0, tri_fn,
     mis=False, cosine_sampling=False, nee_mode="all", active=None,
-    park=None,
+    park=None, pick_weights=None,
 ):
     """Per-vertex NEE over area lights.
 
@@ -110,10 +110,18 @@ def _nee_area_lights(
             from ..lights import light_power_weights
             from ..sampling import DiscreteDistribution1D
 
-            try:
-                w = light_power_weights(scene)[:n_lights]
-            except Exception:
-                w = None
+            # the pick distribution is a SAMPLING choice, detached from
+            # the estimator — differentiable pipelines pass concrete
+            # ``pick_weights`` baked from the base tables (traced tables
+            # cannot weigh and would silently fall back to uniform,
+            # diverging from the fused grad kernel's baked power pick)
+            if pick_weights is not None:
+                w = np.asarray(pick_weights)[:n_lights]
+            else:
+                try:
+                    w = light_power_weights(scene)[:n_lights]
+                except Exception:
+                    w = None
             if w is not None:
                 lidx, pick_prob = DiscreteDistribution1D(w).sample(u_pick)
             else:
@@ -193,7 +201,7 @@ def make_direct_integrator(scene, statics, tri_fn=None):
 def make_path_integrator(
     scene, statics, max_depth, nee=True, le_depth0_only=None,
     cosine_sampling=False, tri_fn=None, mis=False, with_stats=False,
-    nee_mode="all", fused="auto", sort_rays="auto",
+    nee_mode="all", fused="auto", sort_rays="auto", pick_weights=None,
 ):
     """Indirect (``nee=False``) and GI (``nee=True``) path tracing
     (reference: Src/integrator.h:122-190 and 198-291).
@@ -347,6 +355,7 @@ def make_path_integrator(
                     mis=mis, cosine_sampling=cosine_sampling,
                     nee_mode=nee_mode, active=active,
                     park=(park_o, park_d) if sort_on else None,
+                    pick_weights=pick_weights,
                 )
                 radiance = radiance + jnp.where(
                     active[:, None], throughput * direct, 0.0

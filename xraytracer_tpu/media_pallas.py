@@ -174,7 +174,12 @@ def build_bricks(grid):
                 )
                 corner_idx.append(fi.reshape(-1))
     n_active = len(rows)
-    nb_pad = max(8, ((n_active + 8) // 8) * 8)         # >= 1 padding row
+    if n_active + 1 > 1024:
+        # large tables run the CHUNKED in-kernel rank/one-hot path
+        # (_density_rows) — pad to a whole number of 512-row blocks
+        nb_pad = ((n_active + 1 + 511) // 512) * 512
+    else:
+        nb_pad = max(8, ((n_active + 8) // 8) * 8)     # >= 1 padding row
     bricks = np.zeros((nb_pad, _PAYLOAD_PAD), np.float32)
     if n_active:
         bricks[:n_active] = np.stack(rows)
@@ -301,15 +306,17 @@ def unbrick_grad(acc, pack):
 
 
 def _payload_coords():
-    """Static payload-lattice coordinates (px, py, pz) as (768, 512) int32
-    planes; p = (px*9 + py)*9 + pz. Computed once per kernel invocation
+    """Static payload-lattice coordinates (px, py, pz) as (768, 512)
+    FLOAT32 planes (compared against f32 per-row cell offsets); p =
+    (px*9 + py)*9 + pz. Computed once per kernel invocation
     (loop-invariant; integer division by constants lowers fine on Mosaic —
     verified by probe)."""
     ii = lax.broadcasted_iota(jnp.int32, (_PAYLOAD_PAD, RAY_LANES), 0)
     px = ii // 81
     py = (ii // 9) - px * 9
     pz = ii - (ii // 9) * 9
-    return px, py, pz
+    return (px.astype(jnp.float32), py.astype(jnp.float32),
+            pz.astype(jnp.float32))
 
 
 def _density_rows(p3, bricks_ref, ids_ref, pcoords, c):
@@ -317,17 +324,23 @@ def _density_rows(p3, bricks_ref, ids_ref, pcoords, c):
     ((8,512) per component), via per-row one-hot MXU brick extraction over
     the ACTIVE-brick table.
 
-    Row lookup is a rank remap: ``local = sum_j (active_ids[j] < bflat)``
-    (a VPU broadcast-compare + sum, ~NB_act vregs — noise next to the
-    payload matmul), then a one-hot over the active rows. A lane whose
-    brick was dropped as empty gets the insertion-point row instead; its
-    extracted (id_lo, id_hi) payload slots then fail the id check and the
-    density is 0 — exactly the value of an all-zero brick. Bit-compatible
-    with media.density_lookup on bf16-exact grids up to f32 summation
-    order (the XLA path sums 8 corners, this sums the weighted
-    768-payload; both are exact selections of the same corner values;
-    the bf16 table stores the bf16-rounded field losslessly and the
-    one-hot pass was already a bf16 MXU pass when the table was f32)."""
+    Row lookup is a direct id-equality one-hot: ``oh = (active_ids ==
+    bflat)`` selects the lane's row (ids are unique and f32-exact), and a
+    lane whose brick was dropped as empty matches NO row — its extracted
+    payload is all-zero, exactly the value of an all-zero brick.
+
+    LOOP SHAPE: the 8 kernel rows run in a ``lax.while_loop`` (NOT a
+    Python/fori unroll — Mosaic unrolls static loops and then STACKS every
+    iteration's (768, 512) payload and (NB, 512) one-hot temporaries in
+    scoped VMEM: measured 19-22 MB > the 16 MB limit at reference-scale
+    tables; the while body shares one set). Tables past 1024 rows
+    additionally accumulate the compare + matmul over 512-row blocks in an
+    inner while_loop. Bit-compatible with media.density_lookup on
+    bf16-exact grids up to f32 summation order (the XLA path sums 8
+    corners, this sums the weighted 768-payload; both are exact selections
+    of the same corner values; the bf16 table stores the bf16-rounded
+    field losslessly and the one-hot pass was already a bf16 MXU pass when
+    the table was f32)."""
     gx, gy, gz = p3
     inside = (
         (gx >= c["gmin"][0]) & (gx <= c["gmax"][0])
@@ -349,52 +362,73 @@ def _density_rows(p3, bricks_ref, ids_ref, pcoords, c):
     byi = i0y >> 3
     bzi = i0z >> 3
     bflat = (bxi * np.int32(nby) + byi) * np.int32(nbz) + bzi
-    lx = i0x - (bxi << 3)
-    ly = i0y - (byi << 3)
-    lz = i0z - (bzi << 3)
+    lx = (i0x - (bxi << 3)).astype(jnp.float32)
+    ly = (i0y - (byi << 3)).astype(jnp.float32)
+    lz = (i0z - (bzi << 3)).astype(jnp.float32)
     px, py, pz = pcoords
     nb_rows = bricks_ref.shape[0]
-    ids_col = ids_ref[...]                                  # (NB_pad, 1)
     tdtype = bricks_ref.dtype
-    rows = []
-    for r in range(RAY_ROWS):
-        bfi = bflat[r:r + 1, :]                             # (1, 512)
-        bf = bfi.astype(jnp.float32)
-        local = jnp.sum(
-            (ids_col < bf).astype(jnp.float32), axis=0, keepdims=True
-        ).astype(jnp.int32)                                 # rank remap
-        oh = (
-            lax.broadcasted_iota(jnp.int32, (nb_rows, RAY_LANES), 0)
-            == local
-        ).astype(tdtype)
-        payload = lax.dot_general(
-            bricks_ref[...], oh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                   # (768, 512)
-        lxr, fxr = lx[r:r + 1, :], fx[r:r + 1, :]
-        lyr, fyr = ly[r:r + 1, :], fy[r:r + 1, :]
-        lzr, fzr = lz[r:r + 1, :], fz[r:r + 1, :]
+    chunked = nb_rows > 1024     # bound the live (rows, 512) intermediates
+    bff = bflat.astype(jnp.float32)
+    # per-row select/update by sublane mask (Mosaic has no dynamic_slice
+    # on values)
+    row_iota = lax.broadcasted_iota(jnp.int32, (RAY_ROWS, RAY_LANES), 0)
+
+    def srow(x, r):
+        return jnp.sum(
+            jnp.where(row_iota == r, x, 0.0), axis=0, keepdims=True
+        )
+
+    def row_body(st):
+        r, acc = st
+        bf = srow(bff, r)                                   # (1, 512)
+        if chunked:
+            CH = 256        # 512 measured 312 KB over the 16 MB scoped
+                            # budget at a 2560-row table (the whole
+                            # persistent nee kernel); 256 fits
+
+            def pay_block(bst):
+                cb, pacc = bst
+                ids_c = ids_ref[pl.ds(cb * CH, CH), :]
+                oh_c = (ids_c == bf).astype(tdtype)
+                pacc = pacc + lax.dot_general(
+                    bricks_ref[pl.ds(cb * CH, CH), :], oh_c,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return cb + 1, pacc
+
+            _, payload = lax.while_loop(
+                lambda bst: bst[0] < nb_rows // CH, pay_block,
+                (jnp.int32(0),
+                 jnp.zeros((_PAYLOAD_PAD, RAY_LANES), jnp.float32)),
+            )                                               # (768, 512)
+        else:
+            oh = (ids_ref[...] == bf).astype(tdtype)        # (NB_pad, 512)
+            payload = lax.dot_general(
+                bricks_ref[...], oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (768, 512)
+        lxr, fxr = srow(lx, r), srow(fx, r)
+        lyr, fyr = srow(ly, r), srow(fy, r)
+        lzr, fzr = srow(lz, r), srow(fz, r)
         wx = jnp.where(px == lxr, 1.0 - fxr, 0.0) + jnp.where(
-            px == lxr + 1, fxr, 0.0
+            px == lxr + 1.0, fxr, 0.0
         )
         wy = jnp.where(py == lyr, 1.0 - fyr, 0.0) + jnp.where(
-            py == lyr + 1, fyr, 0.0
+            py == lyr + 1.0, fyr, 0.0
         )
         wz = jnp.where(pz == lzr, 1.0 - fzr, 0.0) + jnp.where(
-            pz == lzr + 1, fzr, 0.0
-        )
-        # id check: the selected row must be THIS lane's brick (empty
-        # bricks are not in the table -> density 0)
-        match = (
-            (payload[_SLOT_ID_LO:_SLOT_ID_LO + 1, :]
-             == (bfi & 127).astype(jnp.float32))
-            & (payload[_SLOT_ID_HI:_SLOT_ID_HI + 1, :]
-               == (bfi >> 7).astype(jnp.float32))
+            pz == lzr + 1.0, fzr, 0.0
         )
         val_r = jnp.sum(payload * (wx * wy * wz), axis=0, keepdims=True)
-        rows.append(jnp.where(match, val_r, 0.0))
-    val = jnp.concatenate(rows, axis=0)                     # (8, 512)
+        return r + 1, jnp.where(row_iota == r, val_r, acc)
+
+    _, val = lax.while_loop(
+        lambda st: st[0] < RAY_ROWS, row_body,
+        (jnp.int32(0), jnp.zeros((RAY_ROWS, RAY_LANES), jnp.float32)),
+    )
     return jnp.where(inside, val, 0.0)
 
 
@@ -408,25 +442,42 @@ def _super_rows(b3, sg_ref, c):
     bit-for-bit (same argument as the brick extraction above). The matmul
     replaces a (NSG, 512) masked VPU reduce per row — the DDA runs
     _DDA_SEGMENTS of these per tracking call, and the reduce was most of
-    its cost (round-4 ablation: dda8 saved 2.3 ms of the 39.8 ms nee spp)."""
+    its cost (round-4 ablation: dda8 saved 2.3 ms of the 39.8 ms nee spp).
+    Rows run in a while_loop so the (NSG, 512) one-hots share one scoped
+    buffer instead of stacking 8x (see _density_rows loop-shape note)."""
     bx, by, bz = b3
     _, nby, nbz = c["sg_nb"]
-    bflat = (bx * np.int32(nby) + by) * np.int32(nbz) + bz
-    nsg_rows = sg_ref.shape[0]
-    rows = []
-    for r in range(RAY_ROWS):
-        bf = bflat[r:r + 1, :]
-        oh = (
-            lax.broadcasted_iota(jnp.int32, (nsg_rows, RAY_LANES), 0) == bf
-        ).astype(jnp.float32)
-        rows.append(
-            lax.dot_general(
-                sg_ref[...], oh,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                               # (1, 512)
+    bflat = ((bx * np.int32(nby) + by) * np.int32(nbz) + bz).astype(
+        jnp.float32
+    )
+    ids = _sg_iota_col(sg_ref)
+    row_iota = lax.broadcasted_iota(jnp.int32, (RAY_ROWS, RAY_LANES), 0)
+
+    def row_body(st):
+        r, acc = st
+        bf = jnp.sum(
+            jnp.where(row_iota == r, bflat, 0.0), axis=0, keepdims=True
         )
-    return jnp.concatenate(rows, axis=0)
+        oh = (ids == bf).astype(jnp.float32)
+        got = lax.dot_general(
+            sg_ref[...], oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # (1, 512)
+        return r + 1, jnp.where(row_iota == r, got, acc)
+
+    _, out = lax.while_loop(
+        lambda st: st[0] < RAY_ROWS, row_body,
+        (jnp.int32(0), jnp.zeros((RAY_ROWS, RAY_LANES), jnp.float32)),
+    )
+    return out
+
+
+def _sg_iota_col(sg_ref):
+    """(NSG, 1) row-index column for the supergrid one-hot (int iota then
+    cast — Mosaic's tpu.iota is integer-only)."""
+    n = sg_ref.shape[0]
+    return lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32)
 
 
 def _dda_segments(o3, d3, t0f, t1f, sg_ref, c):
@@ -786,11 +837,12 @@ def track_transmittance(
 def _scatter_rows(p3, coeff, ids_ref, acc_ref, pcoords, c):
     """Accumulate ``coeff`` ((8,512) per-lane scalars) times the trilinear
     corner weights of world points ``p3`` into the (NB_pad, 768)
-    brick-gradient accumulator: per row, acc += onehot(rank) @ (w3*coeff)
-    — one HIGHEST-precision MXU matmul (exact f32 accumulation; the
-    gradient parity test depends on it). Lanes outside the grid or in a
-    dropped (empty) brick contribute nothing: their coeff is masked by the
-    selected-id check (same rank-remap argument as ``_density_rows``)."""
+    brick-gradient accumulator: per row, acc += onehot(id match) @
+    (w3*coeff) — one HIGHEST-precision MXU matmul (exact f32 accumulation;
+    the gradient parity test depends on it). Lanes outside the grid or in
+    a dropped (empty) brick contribute nothing (no row matches their id).
+    Rows run in a while_loop (shared scoped temporaries — see
+    _density_rows loop-shape note)."""
     gx, gy, gz = p3
     inside = (
         (gx >= c["gmin"][0]) & (gx <= c["gmax"][0])
@@ -809,54 +861,49 @@ def _scatter_rows(p3, coeff, ids_ref, acc_ref, pcoords, c):
     i0z, fz = axis(gz, 2)
     _, nby, nbz = c["nb"]
     bxi, byi, bzi = i0x >> 3, i0y >> 3, i0z >> 3
-    bflat = (bxi * np.int32(nby) + byi) * np.int32(nbz) + bzi
-    lx = i0x - (bxi << 3)
-    ly = i0y - (byi << 3)
-    lz = i0z - (bzi << 3)
+    bff = (
+        (bxi * np.int32(nby) + byi) * np.int32(nbz) + bzi
+    ).astype(jnp.float32)
+    lx = (i0x - (bxi << 3)).astype(jnp.float32)
+    ly = (i0y - (byi << 3)).astype(jnp.float32)
+    lz = (i0z - (bzi << 3)).astype(jnp.float32)
     px, py, pz = pcoords
-    nb_rows = ids_ref.shape[0]
-    ids_col = ids_ref[...]
     cf = jnp.where(inside, coeff, 0.0)
-    acc = acc_ref[...]
-    for r in range(RAY_ROWS):
-        bfi = bflat[r:r + 1, :]
-        bf = bfi.astype(jnp.float32)
-        local = jnp.sum(
-            (ids_col < bf).astype(jnp.float32), axis=0, keepdims=True
-        ).astype(jnp.int32)
-        oh = (
-            lax.broadcasted_iota(jnp.int32, (nb_rows, RAY_LANES), 0)
-            == local
-        ).astype(jnp.float32)
-        # selected-id check without the payload matmul: read the id column
-        # back through the same one-hot (exact f32 pick)
-        sel_id = lax.dot_general(
-            ids_col, oh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )                                                   # (1, 512)
-        cfr = jnp.where(sel_id == bf, cf[r:r + 1, :], 0.0)
-        lxr, fxr = lx[r:r + 1, :], fx[r:r + 1, :]
-        lyr, fyr = ly[r:r + 1, :], fy[r:r + 1, :]
-        lzr, fzr = lz[r:r + 1, :], fz[r:r + 1, :]
+    row_iota = lax.broadcasted_iota(jnp.int32, (RAY_ROWS, RAY_LANES), 0)
+
+    def srow(x, r):
+        return jnp.sum(
+            jnp.where(row_iota == r, x, 0.0), axis=0, keepdims=True
+        )
+
+    def row_body(r):
+        bf = srow(bff, r)
+        oh = (ids_ref[...] == bf).astype(jnp.float32)
+        cfr = srow(cf, r)
+        lxr, fxr = srow(lx, r), srow(fx, r)
+        lyr, fyr = srow(ly, r), srow(fy, r)
+        lzr, fzr = srow(lz, r), srow(fz, r)
         wx = jnp.where(px == lxr, 1.0 - fxr, 0.0) + jnp.where(
-            px == lxr + 1, fxr, 0.0
+            px == lxr + 1.0, fxr, 0.0
         )
         wy = jnp.where(py == lyr, 1.0 - fyr, 0.0) + jnp.where(
-            py == lyr + 1, fyr, 0.0
+            py == lyr + 1.0, fyr, 0.0
         )
         wz = jnp.where(pz == lzr, 1.0 - fzr, 0.0) + jnp.where(
-            pz == lzr + 1, fzr, 0.0
+            pz == lzr + 1.0, fzr, 0.0
         )
         contrib = (wx * wy * wz) * cfr                      # (768, 512)
-        acc = acc + lax.dot_general(
+        acc_ref[...] = acc_ref[...] + lax.dot_general(
             oh, contrib,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
         )                                                   # (NB_pad, 768)
-    acc_ref[...] = acc
+        return r + 1
+
+    lax.while_loop(
+        lambda r: r < RAY_ROWS, row_body, jnp.int32(0)
+    )
 
 
 def _dps_channels(dens, m_loc, sig_s, sig_n, denom, c):
