@@ -39,6 +39,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 BASELINE_RAYS_PER_S = 1.0e8  # self-set target (BASELINE.md)
 
 
@@ -151,17 +153,79 @@ def _bench_vpt():
     integrate = make_volume_integrator(tables, statics, 10, nee=False)
     renderer = WavefrontRenderer(tables, camera, integrate, w, h, seed=0)
     renderer.render(1)
-    # 45 spp ≈ 0.5 s per timed call — amortizes the ~23 ms round-trip.
-    # The 9-spp legacy point (rounds 1-2 methodology, round-trip-dominated)
-    # is kept so cross-round VPT numbers stay reconcilable.
-    runs = [renderer.render(45).samples_per_sec for _ in range(3)]
+    # 128 spp ≈ 1.4 s per timed call, median of 5 — the round-4 45-spp
+    # best-of-3 carried 18.9% spread (verdict item 6); longer renders +
+    # median bring the headline inside the tunnel's ±7% band. The 9-spp
+    # legacy point (rounds 1-2 methodology, round-trip-dominated) is kept
+    # so cross-round VPT numbers stay reconcilable.
+    import statistics
+
+    runs = sorted(renderer.render(128).samples_per_sec for _ in range(5))
     legacy = max(renderer.render(9).samples_per_sec for _ in range(3))
     return {
-        "value": max(runs),
-        "spp": 45,
+        "value": statistics.median(runs),
+        "spp": 128,
         "best_of": len(runs),
-        "spread_pct": round(100.0 * (max(runs) - min(runs)) / max(runs), 2),
+        "spread_pct": round(100.0 * (runs[-1] - runs[0]) / runs[-1], 2),
         "legacy_spp9_rays_per_s": legacy,
+    }
+
+
+def _bench_vol_fwd_bwd():
+    """Analytic volume value_and_grad (round 5): one full L2-loss step —
+    grad-sampling forward + density-gradient replay — on the nee cloud at
+    256x256 depth 32. Rays/s here counts the 65k primary rays against the
+    WHOLE fwd+bwd step (two kernel passes). Reverse mode through the
+    bounded-trip wavefront measures ~100x slower at a reduced config
+    (bench record in BASELINE.md); the analytic path is the only practical
+    route to density gradients at this depth."""
+    import jax
+    import jax.numpy as jnp
+
+    from xraytracer_tpu.camera import PinholeCamera
+    from xraytracer_tpu.integrators.het_megakernel import (
+        try_make_fused_het_value_and_grad,
+    )
+    from xraytracer_tpu.math import from_rows
+    from xraytracer_tpu.renderer import pixel_grid
+    from xraytracer_tpu.scene.builder import scene_statics
+    from xraytracer_tpu.scene.presets import build_volume_scene
+
+    tables = build_volume_scene(
+        absorption=(0.01, 0.01, 0.01), scattering=(0.05, 0.05, 0.05),
+        le=30.0, light_center=(0.0, 400.0, 0.0),
+    ).build()
+    statics = scene_statics(tables)
+    w = h = 256
+    c2w = from_rows(1.0, 0, 0, 0, 0, 1.0, 0, 0, 0, 0, 1.0, 0,
+                    0, 70.0, 550.0, 1)
+    cam = PinholeCamera.make(1.0, c2w=c2w, fov_deg=60.0)
+    step = try_make_fused_het_value_and_grad(
+        tables, statics, cam, w, h, 32, nee=True, seed=0
+    )
+    if step is None:
+        raise RuntimeError("analytic het grad ineligible")
+    ids, pxy = pixel_grid(w, h)
+    params = {"grid_density": tables.grid_density}
+    target = jnp.zeros((w * h, 3)) + 0.05
+    js = jax.jit(step)
+
+    def once(i):
+        t0 = time.perf_counter()
+        val, grads = js(params, ids, pxy, target, i)
+        float(val)
+        np.asarray(grads["grid_density"])
+        return time.perf_counter() - t0
+
+    once(0)
+    runs = sorted(once(i) for i in range(1, 4))
+    best = runs[0]
+    return {
+        "value": w * h / best,
+        "unit": "rays/s fwd+bwd (analytic, depth 32)",
+        "best_of": len(runs),
+        "spread_pct": round(100.0 * (runs[-1] - runs[0]) / runs[-1], 2),
+        "method": "analytic_two_pass",
     }
 
 
@@ -306,6 +370,7 @@ def main():
             ("vpt_rays_per_s", _bench_vpt),
             ("het_tracking_ms", _bench_het_tracking),
             ("het_nee_ms_per_spp", _bench_het_nee),
+            ("vol_fwd_bwd_rays_per_s", _bench_vol_fwd_bwd),
             ("mesh_gi_51k_rays_per_s", _bench_mesh_51k),
         ):
             try:

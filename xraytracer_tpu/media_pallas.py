@@ -175,9 +175,11 @@ def build_bricks(grid):
                 corner_idx.append(fi.reshape(-1))
     n_active = len(rows)
     if n_active + 1 > 1024:
-        # large tables run the CHUNKED in-kernel rank/one-hot path
-        # (_density_rows) — pad to a whole number of 512-row blocks
-        nb_pad = ((n_active + 1 + 511) // 512) * 512
+        # large tables run the CHUNKED in-kernel id-compare path
+        # (_density_rows) — pad to a whole number of 256-row blocks (the
+        # persistent nee kernel at a 2560-row table measured 304 KB over
+        # the 16 MB scoped budget; finer padding shaves the table block)
+        nb_pad = ((n_active + 1 + 255) // 256) * 256
     else:
         nb_pad = max(8, ((n_active + 8) // 8) * 8)     # >= 1 padding row
     bricks = np.zeros((nb_pad, _PAYLOAD_PAD), np.float32)
@@ -255,6 +257,7 @@ def het_pack(tables):
         grid_shape=tuple(int(v) for v in g.shape),
         nb=tuple(int(v) for v in nb),
         consts=dict(
+            big_table=bool(bricks.shape[0] > 1024),
             gmin=_f3(gmin), gmax=_f3(gmax), ext=_f3(ext),
             res_m1=_f3(res - 1.0), scale=_f3(scale),
             sg_nb=tuple(int(v) for v in sg_nb), sg_bs=_f3(sg_bs),
@@ -306,17 +309,16 @@ def unbrick_grad(acc, pack):
 
 
 def _payload_coords():
-    """Static payload-lattice coordinates (px, py, pz) as (768, 512)
-    FLOAT32 planes (compared against f32 per-row cell offsets); p =
-    (px*9 + py)*9 + pz. Computed once per kernel invocation
+    """Static payload-lattice coordinates (px, py, pz) as (768, 512) int32
+    planes; p = (px*9 + py)*9 + pz. Computed once per kernel invocation
     (loop-invariant; integer division by constants lowers fine on Mosaic —
-    verified by probe)."""
+    verified by probe; bf16 planes were tried to halve the footprint but
+    the target rejects bf16 compares)."""
     ii = lax.broadcasted_iota(jnp.int32, (_PAYLOAD_PAD, RAY_LANES), 0)
     px = ii // 81
     py = (ii // 9) - px * 9
     pz = ii - (ii // 9) * 9
-    return (px.astype(jnp.float32), py.astype(jnp.float32),
-            pz.astype(jnp.float32))
+    return px, py, pz
 
 
 def _density_rows(p3, bricks_ref, ids_ref, pcoords, c):
@@ -370,6 +372,40 @@ def _density_rows(p3, bricks_ref, ids_ref, pcoords, c):
     tdtype = bricks_ref.dtype
     chunked = nb_rows > 1024     # bound the live (rows, 512) intermediates
     bff = bflat.astype(jnp.float32)
+
+    if not chunked:
+        # SMALL tables: statically-unrolled rows (the while-loop form
+        # below measured +33% on the 64^3 nee workload — the masked row
+        # selects and loop machinery cost more than the unroll's extra
+        # scoped VMEM, which only breaks past ~1024 rows)
+        ids_col = ids_ref[...]
+        rows = []
+        for r in range(RAY_ROWS):
+            bf = bff[r:r + 1, :]
+            oh = (ids_col == bf).astype(tdtype)
+            payload = lax.dot_general(
+                bricks_ref[...], oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (768, 512)
+            lxr, fxr = lx[r:r + 1, :].astype(jnp.int32), fx[r:r + 1, :]
+            lyr, fyr = ly[r:r + 1, :].astype(jnp.int32), fy[r:r + 1, :]
+            lzr, fzr = lz[r:r + 1, :].astype(jnp.int32), fz[r:r + 1, :]
+            wx = jnp.where(px == lxr, 1.0 - fxr, 0.0) + jnp.where(
+                px == lxr + 1, fxr, 0.0
+            )
+            wy = jnp.where(py == lyr, 1.0 - fyr, 0.0) + jnp.where(
+                py == lyr + 1, fyr, 0.0
+            )
+            wz = jnp.where(pz == lzr, 1.0 - fzr, 0.0) + jnp.where(
+                pz == lzr + 1, fzr, 0.0
+            )
+            rows.append(
+                jnp.sum(payload * (wx * wy * wz), axis=0, keepdims=True)
+            )
+        val = jnp.concatenate(rows, axis=0)                 # (8, 512)
+        return jnp.where(inside, val, 0.0)
+
     # per-row select/update by sublane mask (Mosaic has no dynamic_slice
     # on values)
     row_iota = lax.broadcasted_iota(jnp.int32, (RAY_ROWS, RAY_LANES), 0)
@@ -410,18 +446,18 @@ def _density_rows(p3, bricks_ref, ids_ref, pcoords, c):
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                               # (768, 512)
-        lxr, fxr = srow(lx, r), srow(fx, r)
-        lyr, fyr = srow(ly, r), srow(fy, r)
-        lzr, fzr = srow(lz, r), srow(fz, r)
-        wx = jnp.where(px == lxr, 1.0 - fxr, 0.0) + jnp.where(
-            px == lxr + 1.0, fxr, 0.0
-        )
-        wy = jnp.where(py == lyr, 1.0 - fyr, 0.0) + jnp.where(
-            py == lyr + 1.0, fyr, 0.0
-        )
-        wz = jnp.where(pz == lzr, 1.0 - fzr, 0.0) + jnp.where(
-            pz == lzr + 1.0, fzr, 0.0
-        )
+        lxr = srow(lx, r).astype(jnp.int32)
+        lyr = srow(ly, r).astype(jnp.int32)
+        lzr = srow(lz, r).astype(jnp.int32)
+        fxr, fyr, fzr = srow(fx, r), srow(fy, r), srow(fz, r)
+        # arithmetic form (mask-cast * value): i1 masks under jnp.where
+        # hit a Mosaic replicated-relayout error inside the row while_loop
+        wx = ((px == lxr).astype(jnp.float32) * (1.0 - fxr)
+              + (px == lxr + 1).astype(jnp.float32) * fxr)
+        wy = ((py == lyr).astype(jnp.float32) * (1.0 - fyr)
+              + (py == lyr + 1).astype(jnp.float32) * fyr)
+        wz = ((pz == lzr).astype(jnp.float32) * (1.0 - fzr)
+              + (pz == lzr + 1).astype(jnp.float32) * fzr)
         val_r = jnp.sum(payload * (wx * wy * wz), axis=0, keepdims=True)
         return r + 1, jnp.where(row_iota == r, val_r, acc)
 
@@ -451,6 +487,20 @@ def _super_rows(b3, sg_ref, c):
         jnp.float32
     )
     ids = _sg_iota_col(sg_ref)
+    if not c.get("big_table"):
+        # small brick tables: unrolled rows (faster; the 8x (NSG, 512)
+        # one-hots fit the scoped budget when the brick table is small)
+        rows = []
+        for r in range(RAY_ROWS):
+            oh = (ids == bflat[r:r + 1, :]).astype(jnp.float32)
+            rows.append(
+                lax.dot_general(
+                    sg_ref[...], oh,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                           # (1, 512)
+            )
+        return jnp.concatenate(rows, axis=0)
     row_iota = lax.broadcasted_iota(jnp.int32, (RAY_ROWS, RAY_LANES), 0)
 
     def row_body(st):
@@ -880,18 +930,18 @@ def _scatter_rows(p3, coeff, ids_ref, acc_ref, pcoords, c):
         bf = srow(bff, r)
         oh = (ids_ref[...] == bf).astype(jnp.float32)
         cfr = srow(cf, r)
-        lxr, fxr = srow(lx, r), srow(fx, r)
-        lyr, fyr = srow(ly, r), srow(fy, r)
-        lzr, fzr = srow(lz, r), srow(fz, r)
-        wx = jnp.where(px == lxr, 1.0 - fxr, 0.0) + jnp.where(
-            px == lxr + 1.0, fxr, 0.0
-        )
-        wy = jnp.where(py == lyr, 1.0 - fyr, 0.0) + jnp.where(
-            py == lyr + 1.0, fyr, 0.0
-        )
-        wz = jnp.where(pz == lzr, 1.0 - fzr, 0.0) + jnp.where(
-            pz == lzr + 1.0, fzr, 0.0
-        )
+        lxr = srow(lx, r).astype(jnp.int32)
+        lyr = srow(ly, r).astype(jnp.int32)
+        lzr = srow(lz, r).astype(jnp.int32)
+        fxr, fyr, fzr = srow(fx, r), srow(fy, r), srow(fz, r)
+        # arithmetic form (mask-cast * value): i1 masks under jnp.where
+        # hit a Mosaic replicated-relayout error inside the row while_loop
+        wx = ((px == lxr).astype(jnp.float32) * (1.0 - fxr)
+              + (px == lxr + 1).astype(jnp.float32) * fxr)
+        wy = ((py == lyr).astype(jnp.float32) * (1.0 - fyr)
+              + (py == lyr + 1).astype(jnp.float32) * fyr)
+        wz = ((pz == lzr).astype(jnp.float32) * (1.0 - fzr)
+              + (pz == lzr + 1).astype(jnp.float32) * fzr)
         contrib = (wx * wy * wz) * cfr                      # (768, 512)
         acc_ref[...] = acc_ref[...] + lax.dot_general(
             oh, contrib,

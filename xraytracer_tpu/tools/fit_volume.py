@@ -54,10 +54,16 @@ def fit(width=48, height=36, steps=600, lr=0.1, max_depth=8, pairs=2,
 
     # majorants baked from a ones grid bound any density in [0, 1]
     # (the documented score-terms caveat)
+    # OPTICALLY THIN coefficients: at the wdas-scale extent (~330 units
+    # across), sigma_t = 0.10 gives tau ~ 15 — light never reaches the
+    # interior, interior-voxel gradients vanish, and descent stalls
+    # (measured). sigma_t = 0.005 puts the blob at tau ~ 0.8: every voxel
+    # is observable from every view (tomography regime).
     tables = build_volume_scene(
         res=(RES, RES, RES), density=np.ones((RES, RES, RES), np.float32),
-        absorption=(0.02, 0.02, 0.02), scattering=(0.08, 0.08, 0.08),
-        le=30.0, light_center=(0.0, 400.0, 0.0),
+        absorption=(0.001, 0.001, 0.001),
+        scattering=(0.004, 0.004, 0.004),
+        le=120.0, light_center=(0.0, 400.0, 0.0),
     ).build()
     statics = scene_statics(tables)
     tgt_grid = _blob_target()
@@ -118,9 +124,11 @@ def fit(width=48, height=36, steps=600, lr=0.1, max_depth=8, pairs=2,
         targets.append(jnp.asarray(acc / target_pairs))
 
     z = jnp.zeros((RES, RES, RES))
-    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    # cosine LR decay must live INSIDE adam (scaling the gradient before
+    # adam is a no-op — adam normalizes its input)
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     ost = opt.init(z)
-    sched = optax.cosine_decay_schedule(1.0, steps, alpha=0.05)
     history = []
     jitted = [jax.jit(st.step_pair) for st in steps_fns]
     for it in range(steps):
@@ -139,7 +147,7 @@ def fit(width=48, height=36, steps=600, lr=0.1, max_depth=8, pairs=2,
                 )
                 g_total = gz if g_total is None else g_total + gz
                 loss_sum += float(loss)
-        g_total = g_total * sched(it) / (len(jitted) * pairs)
+        g_total = g_total / (len(jitted) * pairs)
         up, ost = opt.update(g_total, ost)
         z = optax.apply_updates(z, up)
         if verbose and it % 25 == 0:
