@@ -162,3 +162,20 @@ def test_fused_het_many_lights_parity():
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
     )
     assert float(jnp.mean(ref)) > 1e-3
+
+
+def test_cloud_128_fused_eligible():
+    """Round-5 item 2 gate: the reference-scale 128^3 procedural cloud
+    (standing in for wdas_cloud_quarter, Src/grid.h:71-77 /
+    Src/examples/volume.cpp:46) is eligible for the FULLY-FUSED megakernel
+    — the active-brick table keeps it within the VMEM bound where the old
+    dense limit was 64^3. (Hardware ms/spp recorded in BASELINE.md; the
+    sampled-field parity at this scale is gated by
+    tests/test_het_kernel.py::test_sparse_128_grid_eligible_and_matches_xla.)"""
+    density = round_bf16(procedural_cloud(res=(128, 128, 128)))
+    tables = build_volume_scene(res=density.shape, density=density).build()
+    statics = scene_statics(tables)
+    el = _eligible_het(tables, statics, 6)
+    assert el is not None
+    pack = el[0]
+    assert pack["bricks"].shape[0] > 1024     # genuinely the big-table path

@@ -422,16 +422,31 @@ def _density_rows(p3, bricks_ref, ids_ref, pcoords, c):
             CH = 256        # 512 measured 312 KB over the 16 MB scoped
                             # budget at a 2560-row table (the whole
                             # persistent nee kernel); 256 fits
+            # the table is sorted by flat id, so the blocks a ROW can
+            # match form a contiguous id range — skip blocks wholly
+            # outside [min, max] of the row's in-grid lane ids (inactive
+            # lanes carry clamped ids that would widen the range; mask
+            # them to +/-inf)
+            ins_r = srow(inside.astype(jnp.float32), r) > 0.0
+            minb = jnp.min(jnp.where(ins_r, bf, _BIG_F))
+            maxb = jnp.max(jnp.where(ins_r, bf, -_BIG_F))
 
             def pay_block(bst):
                 cb, pacc = bst
                 ids_c = ids_ref[pl.ds(cb * CH, CH), :]
-                oh_c = (ids_c == bf).astype(tdtype)
-                pacc = pacc + lax.dot_general(
-                    bricks_ref[pl.ds(cb * CH, CH), :], oh_c,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+
+                def run(pacc):
+                    oh_c = (ids_c == bf).astype(tdtype)
+                    return pacc + lax.dot_general(
+                        bricks_ref[pl.ds(cb * CH, CH), :], oh_c,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                hit_range = (jnp.min(ids_c) <= maxb) & (
+                    jnp.max(ids_c) >= minb
                 )
+                pacc = lax.cond(hit_range, run, lambda a: a, pacc)
                 return cb + 1, pacc
 
             _, payload = lax.while_loop(

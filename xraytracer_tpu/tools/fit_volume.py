@@ -34,7 +34,7 @@ def _blob_target():
     return tgt
 
 
-def fit(width=48, height=36, steps=600, lr=0.1, max_depth=8, pairs=2,
+def fit(width=96, height=72, steps=600, lr=0.1, max_depth=6, pairs=2,
         target_pairs=64, seed=0, verbose=False, force=False,
         interpret=False):
     """Run the demo. Returns (history, fitted_density, target_density)."""
@@ -165,8 +165,8 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--pairs", type=int, default=2)
     ap.add_argument("--lr", type=float, default=0.1)
-    ap.add_argument("--width", type=int, default=48)
-    ap.add_argument("--height", type=int, default=36)
+    ap.add_argument("--width", type=int, default=96)
+    ap.add_argument("--height", type=int, default=72)
     ap.add_argument("-o", "--out", default=None)
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
