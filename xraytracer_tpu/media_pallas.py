@@ -422,31 +422,21 @@ def _density_rows(p3, bricks_ref, ids_ref, pcoords, c):
             CH = 256        # 512 measured 312 KB over the 16 MB scoped
                             # budget at a 2560-row table (the whole
                             # persistent nee kernel); 256 fits
-            # the table is sorted by flat id, so the blocks a ROW can
-            # match form a contiguous id range — skip blocks wholly
-            # outside [min, max] of the row's in-grid lane ids (inactive
-            # lanes carry clamped ids that would widen the range; mask
-            # them to +/-inf)
-            ins_r = srow(inside.astype(jnp.float32), r) > 0.0
-            minb = jnp.min(jnp.where(ins_r, bf, _BIG_F))
-            maxb = jnp.max(jnp.where(ins_r, bf, -_BIG_F))
-
+            # NOTE (round-5 lead): the table is id-sorted, so the blocks
+            # a row can match form a contiguous range — but both gating
+            # schemes tried (per-block lax.cond, scalar-prescan loop
+            # bounds) cost 1.2-1.35 MB of Mosaic stack and push the
+            # persistent nee kernel past the 16 MB scoped budget at
+            # 2304-row tables; the unconditional loop stays
             def pay_block(bst):
                 cb, pacc = bst
                 ids_c = ids_ref[pl.ds(cb * CH, CH), :]
-
-                def run(pacc):
-                    oh_c = (ids_c == bf).astype(tdtype)
-                    return pacc + lax.dot_general(
-                        bricks_ref[pl.ds(cb * CH, CH), :], oh_c,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-
-                hit_range = (jnp.min(ids_c) <= maxb) & (
-                    jnp.max(ids_c) >= minb
+                oh_c = (ids_c == bf).astype(tdtype)
+                pacc = pacc + lax.dot_general(
+                    bricks_ref[pl.ds(cb * CH, CH), :], oh_c,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-                pacc = lax.cond(hit_range, run, lambda a: a, pacc)
                 return cb + 1, pacc
 
             _, payload = lax.while_loop(
