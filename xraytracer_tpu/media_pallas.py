@@ -321,7 +321,7 @@ def _payload_coords():
     return px, py, pz
 
 
-def _density_rows(p3, bricks_ref, ids_ref, pcoords, c):
+def _density_rows(p3, bricks_ref, ids_ref, pcoords, c, compact=False):
     """Trilinear density of the bf16-rounded grid at world points ``p3``
     ((8,512) per component), via per-row one-hot MXU brick extraction over
     the ACTIVE-brick table.
@@ -370,10 +370,14 @@ def _density_rows(p3, bricks_ref, ids_ref, pcoords, c):
     px, py, pz = pcoords
     nb_rows = bricks_ref.shape[0]
     tdtype = bricks_ref.dtype
+    # ``compact`` forces the while-loop row form even for small tables —
+    # the gradient replay kernel carries the (NB, 768) accumulator and
+    # scatter machinery on top and measured 104 KB over the scoped budget
+    # with the unrolled form at depth 32
     chunked = nb_rows > 1024     # bound the live (rows, 512) intermediates
     bff = bflat.astype(jnp.float32)
 
-    if not chunked:
+    if not chunked and not compact:
         # SMALL tables: statically-unrolled rows (the while-loop form
         # below measured +33% on the 64^3 nee workload — the masked row
         # selects and loop machinery cost more than the unroll's extra
@@ -1024,7 +1028,9 @@ def track_sample_grad(
         t_new, m_loc = _tau_to_t(seg_t, seg_m, tau_edges, tau_new)
         m_safe = jnp.where(m_loc <= 0.0, 1.0, m_loc)
         p3 = tuple(o3[k] + t_new * d3[k] for k in range(3))
-        dens = _density_rows(p3, bricks_ref, ids_ref, pcoords, c) * c["dm"]
+        dens = _density_rows(
+            p3, bricks_ref, ids_ref, pcoords, c, compact=True
+        ) * c["dm"]
         sig_s = tuple(c["sigma_s"][k] * dens for k in range(3))
         sig_a = tuple(c["sigma_a"][k] * dens for k in range(3))
         sig_n = tuple(
@@ -1158,7 +1164,9 @@ def track_transmittance_grad(
         esc = tau_new > tau_total
         t_new, m_loc = _tau_to_t(seg_t, seg_m, tau_edges, tau_new)
         p3 = tuple(o3[k] + t_new * d3[k] for k in range(3))
-        dens = _density_rows(p3, bricks_ref, ids_ref, pcoords, c) * c["dm"]
+        dens = _density_rows(
+            p3, bricks_ref, ids_ref, pcoords, c, compact=True
+        ) * c["dm"]
         upd = active & ~esc
         coeff = zero
         for k in range(3):
