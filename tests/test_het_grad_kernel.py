@@ -119,3 +119,47 @@ def test_analytic_grad_matches_autodiff(setup):
         np.asarray(grads["al_le"]), np.asarray(ref_g["al_le"]),
         rtol=5e-3, atol=1e-8,
     )
+
+
+def test_step_pair_matches_autodiff_product_loss(setup):
+    """The two-sample product-loss step (``step_pair``: the descent
+    estimator fit_volume uses — E[(a-t)(b-t)] over independent renders)
+    must match jax.grad of the same loss built from two wavefront
+    grad-sampling renders."""
+    tables, statics, cam, ids, pxy, rays, keys, g = setup
+    target = _wavefront_img(tables, statics, rays, keys, {}) * 0.6 + 0.02
+
+    from xraytracer_tpu.renderer import CAMERA_SITE
+    from xraytracer_tpu.sampling import path_keys, uniform2
+
+    wh = jnp.asarray([float(W), float(H)])
+
+    def render(p, seed, s):
+        k = path_keys(seed, ids, s)
+        u = uniform2(k, CAMERA_SITE)
+        r = cam.sample_rays((pxy + u) / wh)
+        return _wavefront_img(tables, statics, r, k, p)
+
+    s_a, s_b = 4, 5
+
+    def loss_fn(p):
+        a = render(p, 0, s_a)
+        b = render(p, 7919, s_b)
+        return jnp.mean((a - target) * (b - target))
+
+    params = {"grid_density": jnp.asarray(g)}
+    ref_loss, ref_g = jax.value_and_grad(loss_fn)(params)
+
+    step = try_make_fused_het_value_and_grad(
+        tables, statics, cam, W, H, DEPTH, nee=True, max_steps=MAX_STEPS,
+        seed=0, interpret=True, force=True,
+    )
+    loss, grads = step.step_pair(params, ids, pxy, target, s_a, s_b)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    rg = np.asarray(ref_g["grid_density"])
+    scale = np.abs(rg).max()
+    assert scale > 0
+    np.testing.assert_allclose(
+        np.asarray(grads["grid_density"]), rg, rtol=5e-3,
+        atol=5e-4 * scale,
+    )
