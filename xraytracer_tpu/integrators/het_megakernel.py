@@ -885,10 +885,13 @@ def try_make_fused_het_value_and_grad(
     tests/test_het_grad_kernel.py) up to f32 summation order.
 
     Returns ``step(params, pixel_ids, pixel_xy, target, sample_idx) ->
-    (loss, grads)`` with live params {"grid_density", "al_le"} (density
-    updates re-pack the brick payload per call — active set and majorants
-    stay fixed at build, the documented score-terms caveat), or None when
-    the scene is ineligible (het-megakernel eligibility + the gradient
+    (loss, grads)``. ``grid_density`` is LIVE (updates re-pack the brick
+    payload per call — active set and majorants stay fixed at build, the
+    documented score-terms caveat). ``al_le`` gradients are returned when
+    requested but evaluated AT THE BUILD-TIME emissions — the volume
+    kernels bake Le as constants (unlike the surface grad kernel's live
+    VMEM Le table); rebuild to apply an Le update. Returns None when the
+    scene is ineligible (het-megakernel eligibility + the gradient
     accumulator VMEM bound)."""
     from ..camera import PinholeCamera
     from ..media_pallas import pack_bricks_live, unbrick_grad
