@@ -101,6 +101,11 @@ def density_lookup(scene, p, use_packed=True):
     w = (
         wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
     ).reshape(-1, 8)
+    # huge grids ship no packed table (an 8x-grid-size buffer wedges the
+    # tunnel at 256^3 — scene/builder gates it and stores a 1-row
+    # sentinel); fall back to the 8-corner dense gather for them
+    if use_packed and scene.grid_packed.shape[0] != g.size:
+        use_packed = False
     if use_packed:
         flat = (i0[:, 0] * ny + i0[:, 1]) * nz + i0[:, 2]
         corners = scene.grid_packed[flat]                # (N, 8)

@@ -408,17 +408,27 @@ class SceneBuilder:
             np.zeros((1, 1, 1), f32), np.zeros(3, f32), np.ones(3, f32)
         )
         # corner-packed grid: row (i,j,k) = 8 corners [i+dx, j+dy, k+dz] with
-        # edge clamping; bit layout d = dx*4 + dy*2 + dz
+        # edge clamping; bit layout d = dx*4 + dy*2 + dz. Gated by size:
+        # the packed table is 8x the grid (a 256^3 grid would ship a
+        # ~536 MB buffer — measured to WEDGE the axon tunnel; the fused
+        # kernels use the brick table and the XLA fallback path gathers
+        # the 8 corners from the dense grid instead, media.density_lookup
+        # use_packed=False semantics via an all-zero 1-row table)
         gd = grid[0]
-        packed = np.empty(gd.shape + (8,), f32)
-        for d in range(8):
-            dx, dy, dz = (d >> 2) & 1, (d >> 1) & 1, d & 1
-            sl = gd[
-                np.minimum(np.arange(gd.shape[0]) + dx, gd.shape[0] - 1)
-            ][:, np.minimum(np.arange(gd.shape[1]) + dy, gd.shape[1] - 1)
-            ][:, :, np.minimum(np.arange(gd.shape[2]) + dz, gd.shape[2] - 1)]
-            packed[..., d] = sl
-        packed = packed.reshape(-1, 8)
+        if gd.size <= (160 ** 3):
+            packed = np.empty(gd.shape + (8,), f32)
+            for d in range(8):
+                dx, dy, dz = (d >> 2) & 1, (d >> 1) & 1, d & 1
+                sl = gd[
+                    np.minimum(np.arange(gd.shape[0]) + dx, gd.shape[0] - 1)
+                ][:, np.minimum(np.arange(gd.shape[1]) + dy,
+                                gd.shape[1] - 1)
+                ][:, :, np.minimum(np.arange(gd.shape[2]) + dz,
+                                   gd.shape[2] - 1)]
+                packed[..., d] = sl
+            packed = packed.reshape(-1, 8)
+        else:
+            packed = None
         # block-max supergrid for piecewise-majorant tracking (media.py):
         # <= 8 blocks per axis; block (bx,by,bz) bounds every trilinear
         # value with continuous index in [b*B, (b+1)*B] -> max over the
@@ -510,7 +520,10 @@ class SceneBuilder:
             grid_density=arr(grid[0]),
             grid_min=arr(grid[1]),
             grid_max=arr(grid[2]),
-            grid_packed=arr(packed),
+            grid_packed=arr(
+                packed if packed is not None
+                else np.zeros((1, 8), f32)      # sentinel: size mismatch
+            ),
             grid_super=arr(super_flat),
             grid_super_nb=arr(super_nb, np.int32),
             grid_super_bsize=arr(super_bs),
